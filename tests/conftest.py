@@ -1,0 +1,11 @@
+import pytest
+
+from remine_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(master="local[4]", app_name="remine_tests",
+                  shuffle_partitions=8)
+    yield s
+    s.stop()
