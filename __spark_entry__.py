@@ -1,38 +1,92 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship knowledge-graph construction run — wraps the
+  sf0.001 ``documents`` table into the pages(url, warc_ts, html, text, lang)
+  input shape and runs the full ReMine pipeline (extract → tokenize/parse →
+  mine → EM-fit segmentation → dep-path tuples → TransE rank), returning the
+  ranked triples DataFrame.
+- ``queries()`` / ``oracle_sql()``: operator catalog from SURVEY §2 plus
+  training-data pipeline ops, checked against DuckDB (remine_spark/queries.py).
+  Non-SQL-expressible pipeline operators are exposed as rows-only queries.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from remine_spark import pipeline as _pipeline
+from remine_spark.queries import QUERIES as _CATALOG
+from remine_spark.synth import render_html as _render_html
+
+
+def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, lang, ...) → pages(url, warc_ts, html, text, lang).
+
+    html is the deterministic wrapper from remine_spark.synth so the
+    extractor's byte-identical invariant holds on this corpus too."""
+
+    @F.pandas_udf(T.BinaryType())
+    def render(text: pd.Series) -> pd.Series:
+        return text.map(_render_html)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        render(F.col("text")).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def _run_flagship(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    pages = _pages_from_documents(spark, sf_dir)
+    workdir = os.path.join(
+        tempfile.gettempdir(),
+        "remine_entry_" + os.path.basename(os.path.normpath(sf_dir)))
+    return _pipeline.run_pipeline(
+        spark, pages, workdir,
+        inner_iters=2, transe_epochs=5, resume=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows ≥ 0."""
+    out = _run_flagship(spark, "/root/testdata/sf0.001")
+    return out["triples"].select(
+        "url", "doc_id", "sent_id", "subj", "pred", "obj", "score", "rank")
+
+
+# --- rows-only (non-SQL-expressible) pipeline operators -------------------
+
+def _remine_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _run_flagship(spark, sf_dir)
+    return out["triples"].select(
+        "url", "doc_id", "sent_id", "subj", "pred", "obj", "score", "rank")
+
+
+def _remine_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _run_flagship(spark, sf_dir)
+    return out["mentions"]
+
+
+def _remine_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _run_flagship(spark, sf_dir)
+    return out["entities"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: spec["spark"] for name, spec in _CATALOG.items()}
+    out["remine_triples"] = _remine_triples
+    out["remine_mentions"] = _remine_mentions
+    out["remine_entities"] = _remine_entities
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: spec["sql"] for name, spec in _CATALOG.items()
+            if spec["sql"] is not None}

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (what the driver runs): headline operator queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` plus the flagship pipeline throughput on a
+deterministic synthetic pages corpus. Prints ONE JSON line.
+
+``--scaling``: the north_rule two-cluster-size proxy — identical pipeline
+job at local[8] and local[32] on the same input; reports docs/sec at both
+and efficiency = (T8/T32)/4. Appends a markdown row to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("REMINE_BENCH_DOCS", "3000"))
+
+HEADLINE = [
+    "q1_pricing_summary", "a2_bigram_minsup", "a3_token_idf",
+    "j1_pattern_lookup", "j2_subpattern_join", "j8_nation_revenue",
+    "w1_rank_per_group", "w4_lead_gaps", "dedup_exact", "text_quality_score",
+]
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from remine_spark.queries import QUERIES
+
+    times = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]["spark"]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        times[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    return times
+
+
+def run_pipeline_bench(spark, n_docs: int) -> dict:
+    from remine_spark import pipeline, synth
+
+    wd = tempfile.mkdtemp(prefix="remine_bench_")
+    try:
+        pages = synth.pages_df(spark, n_docs, seed=42,
+                               num_partitions=CPUS * 2).cache()
+        n_en = pages.filter("lang = 'en'").count()  # materialize input first
+        t0 = time.time()
+        out = pipeline.run_pipeline(
+            spark, pages, wd, inner_iters=2, transe_epochs=3, resume=False)
+        n_triples = out["triples"].count()
+        wall = time.time() - t0
+        return {"docs": n_en, "sec": round(wall, 2),
+                "docs_per_sec": round(n_en / wall, 2),
+                "triples": n_triples}
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def new_session(master: str):
+    from remine_spark.session import get_spark
+    return get_spark(master=master, app_name=f"bench_{master}")
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            spark = new_session(f"local[{n}]")
+            results[n] = run_pipeline_bench(spark, BENCH_DOCS)
+            spark.stop()
+        eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+        line = {
+            "metric": "pipeline_scaling_local8_vs_local32",
+            "docs": BENCH_DOCS,
+            "local8_docs_per_sec": results[8]["docs_per_sec"],
+            "local32_docs_per_sec": results[32]["docs_per_sec"],
+            "efficiency_n_to_4n": round(eff, 3),
+        }
+        print(json.dumps(line))
+        with open("BENCH.md", "a") as fh:
+            fh.write(
+                f"| {time.strftime('%Y-%m-%d %H:%M')} | {BENCH_DOCS} docs | "
+                f"{results[8]['docs_per_sec']} docs/s @8 | "
+                f"{results[32]['docs_per_sec']} docs/s @32 | "
+                f"{round(eff, 3)} |\n")
+        return
+
+    spark = new_session(f"local[{CPUS}]")
+    t_all = time.time()
+    qtimes = run_queries(spark, SF_DIR)
+    pipe = run_pipeline_bench(spark, BENCH_DOCS)
+    total = round(time.time() - t_all, 2)
+    spark.stop()
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(json.dumps({
+        "metric": "headline_queries_plus_pipeline_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipeline": pipe,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Frequent contiguous n-gram (pattern) mining — pure DataFrame/Catalyst.
+
+Reference: frequent_pattern_mining.h:260-435 mines length-k patterns
+iteratively (Apriori) with thread-local hash maps. At Spark scale the
+equivalent with identical post-MIN_SUP semantics is a single explode of all
+within-sentence n-grams (≤ max_len) into one shuffle-parallel hash
+aggregation — partial (map-side) + final aggregation replaces the mutex-striped
+counter merging (frequent_pattern_mining.h:193-219, 354-390). Sentence
+boundaries are respected by construction (n-grams are generated inside the
+per-sentence array row, mirroring isEndOfSentence pruning at
+frequent_pattern_mining.h:364,411).
+
+Punctuation-crossing multi-grams are pruned pre-aggregation: GetPuncCost
+(segmentation.h:355-358) makes them -INF at segmentation time, so counting
+them would be wasted shuffle volume. Catalyst pushes this filter below the
+explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .nlp import PUNC
+
+MIN_SUP = 10      # phrase_extraction.sh:3 (compiled default 30, parameters.h:58)
+MAX_LEN = 6       # frequent_pattern_mining.h:260 mine cap
+
+
+def ngram_candidates(sentences: DataFrame, max_len: int = MAX_LEN) -> DataFrame:
+    """Explode every within-sentence n-gram, 1 ≤ n ≤ max_len.
+
+    Output: (doc_id, sent_id, start, n, ngram ARRAY<STRING>, pos_key STRING).
+    """
+    gen = F.expr(
+        f"""
+        flatten(transform(sequence(0, size(tokens)-1), i ->
+          transform(sequence(1, least({int(max_len)}, size(tokens)-i)), n ->
+            struct(i AS start, n AS n,
+                   slice(tokens, i+1, n) AS ngram,
+                   array_join(slice(pos, i+1, n), ' ') AS pos_key))))
+        """
+    )
+    punc_lit = F.array(*[F.lit(p) for p in sorted(PUNC)])
+    return (
+        sentences
+        .select("doc_id", "sent_id", F.explode(gen).alias("g"))
+        .select("doc_id", "sent_id", "g.start", "g.n", "g.ngram", "g.pos_key")
+        .filter(F.size(F.array_intersect(F.col("ngram"), punc_lit)) == 0)
+    )
+
+
+def mine_patterns(
+    sentences: DataFrame, min_sup: int = MIN_SUP, max_len: int = MAX_LEN
+) -> DataFrame:
+    """patterns(ngram, ngram_key, n, freq, pos_key) with freq ≥ min_sup.
+
+    One shuffle (hash agg on ngram). pos_key is deterministic because the
+    tagger is context-free; min() makes it deterministic regardless.
+    """
+    return (
+        ngram_candidates(sentences, max_len)
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.min("pos_key").alias("pos_key"),
+            F.first("n").alias("n"),
+        )
+        .filter(F.col("freq") >= min_sup)
+        .withColumn("ngram_key", F.array_join("ngram", " "))
+    )
+
+
+def unigram_counts(sentences: DataFrame) -> DataFrame:
+    """A1 (frequent_pattern_mining.h:303-319): token → corpus count."""
+    return (
+        sentences.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def idf(sentences: DataFrame) -> DataFrame:
+    """A3 (documents.h:300-309): idf = log(total_docs / doc_freq + EPS).
+
+    countDistinct shuffles once; at 10^12-doc scale swap for
+    approx_count_distinct — semantics of downstream features tolerate it.
+    """
+    n_docs = sentences.select("doc_id").distinct().count()
+    return (
+        sentences.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df") + F.lit(1e-8)))
+    )
+
+
+def occurrences(sentences: DataFrame, patterns: DataFrame,
+                max_len: int = MAX_LEN) -> DataFrame:
+    """id2ends equivalent (frequent_pattern_mining.h:149-152) as a real
+    table: every (doc_id, sent_id, start, end_pos) of a surviving pattern.
+    Semi-join against the mined patterns prunes the candidate stream."""
+    cands = ngram_candidates(sentences, max_len)
+    return (
+        cands.join(patterns.select("ngram"), "ngram", "left_semi")
+        .withColumn("end_pos", F.col("start") + F.col("n") - 1)
+    )

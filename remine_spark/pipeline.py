@@ -1,0 +1,155 @@
+"""End-to-end pipeline with checkpointed, resumable stage boundaries.
+
+north_rule requirements implemented here:
+- every stage boundary is a parquet checkpoint (Iceberg-ready: swap
+  ``.parquet(path)`` for ``.format("iceberg").saveAsTable`` — the layout,
+  bucketing and lineage logic are format-agnostic);
+- resume: ``run_pipeline`` skips any stage whose checkpoint already exists
+  (kill it after stage k, relaunch, it picks up at k+1 — tested);
+- per-partition lineage + metrics rows are appended to ``<workdir>/lineage``
+  for every materialized stage;
+- the triples sink is salted by subj-hash (``pmod(xxhash64(subj), n)``) to
+  defuse head-entity skew before the final shuffle/write.
+
+Stage graph (SURVEY §3.4):
+pages → sentences → patterns → [census + EM fit] → mentions
+                                                 → tuples → transe → triples
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import mining, model as model_mod, transe, tuples as tuples_mod
+from .corpus import sentences_from_pages
+
+TRIPLE_BUCKETS = 64
+
+
+def _exists(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _lineage(spark: SparkSession, workdir: str, stage: str, df: DataFrame,
+             wall_s: float) -> None:
+    """Per-partition lineage/metrics rows (north_rule)."""
+    per_part = (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("wall_s", F.lit(float(wall_s)))
+        .withColumn("ts", F.current_timestamp())
+    )
+    per_part.write.mode("append").parquet(os.path.join(workdir, "lineage"))
+
+
+def checkpoint(spark: SparkSession, workdir: str, stage: str, df: DataFrame,
+               resume: bool = True, partition_cols: list[str] | None = None
+               ) -> DataFrame:
+    """Write-or-reuse a stage checkpoint; returns the re-read DataFrame (so
+    downstream plans cut lineage at the materialized table)."""
+    path = os.path.join(workdir, stage)
+    if not (resume and _exists(path)):
+        t0 = time.time()
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(path)
+        out = spark.read.parquet(path)
+        _lineage(spark, workdir, stage, out, time.time() - t0)
+        return out
+    return spark.read.parquet(path)
+
+
+def save_model(workdir: str, m: model_mod.SegModel) -> None:
+    blob = {
+        "patterns": [[list(t), f, q, i] for (t, f, q, i) in m.patterns],
+        "tree_total": m.tree_total,
+        "deps_prob": m.deps_prob,
+    }
+    with open(os.path.join(workdir, "segmodel.json"), "w") as fh:
+        json.dump(blob, fh)
+
+
+def load_model(workdir: str) -> model_mod.SegModel | None:
+    path = os.path.join(workdir, "segmodel.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        blob = json.load(fh)
+    pats = [(tuple(t), int(f), float(q), i) for (t, f, q, i) in blob["patterns"]]
+    return model_mod.SegModel(pats, {k: int(v) for k, v in blob["tree_total"].items()},
+                              deps_prob=blob["deps_prob"])
+
+
+def run_pipeline(
+    spark: SparkSession, pages: DataFrame, workdir: str,
+    min_sup: int = mining.MIN_SUP, max_len: int = mining.MAX_LEN,
+    outer_iters: int = 2, inner_iters: int = 4,
+    transe_epochs: int = 20, transe_dim: int = 16,
+    resume: bool = True,
+) -> dict[str, DataFrame]:
+    """Full run. Returns the materialized stage DataFrames."""
+    os.makedirs(workdir, exist_ok=True)
+
+    # 1. sentences (S1 + UDF1/UDF2)
+    sentences = checkpoint(
+        spark, workdir, "sentences", sentences_from_pages(pages), resume)
+
+    # 2. patterns (A1/A2 + M3/M5 quality)
+    patterns_df = checkpoint(
+        spark, workdir, "patterns",
+        model_mod.assign_quality(mining.mine_patterns(sentences, min_sup, max_len)),
+        resume)
+
+    # 3. ReMine-Local fit (A6/A7/A8 + M9)
+    m = load_model(workdir) if resume else None
+    if m is None:
+        tree_total = model_mod.subtree_census(sentences, max_len)
+        m = model_mod.model_from_patterns(patterns_df, tree_total)
+        for _ in range(outer_iters):
+            model_mod.adjust_constraints(spark, sentences, m,
+                                         inner_iters=inner_iters)
+            m = model_mod.rectify_frequency(spark, sentences, m)
+        save_model(workdir, m)
+
+    bc = spark.sparkContext.broadcast(m.payload())
+
+    # 4. mentions (entity map input) + tuples (M10/M11)
+    mentions = checkpoint(
+        spark, workdir, "mentions", tuples_mod.mentions_df(sentences, bc),
+        resume)
+    tuples = checkpoint(
+        spark, workdir, "tuples", tuples_mod.tuples_df(sentences, bc), resume)
+
+    # 5. ReMine-Global (M12/M13) + ranked triples sink, subj-hash salted (S8)
+    te = transe.fit(spark, tuples, dim=transe_dim, epochs=transe_epochs)
+    ranked = transe.score_and_rank(spark, tuples, te)
+    triples = ranked.select(
+        "url", "doc_id", "sent_id", "subj", "pred", "obj", "score", "rank",
+        F.pmod(F.xxhash64("subj"), F.lit(TRIPLE_BUCKETS)).alias("bucket"),
+    ).repartition(F.col("bucket"))
+    triples = checkpoint(spark, workdir, "triples", triples, resume,
+                         partition_cols=["bucket"])
+
+    # entity canonicalization map: mention surface → canonical form
+    entities = checkpoint(
+        spark, workdir, "entities",
+        mentions.select(
+            F.lower(F.regexp_replace("text", " ", "_")).alias("entity"),
+            "text", "url", "doc_id", "sent_id", "start", "end",
+        ).groupBy("entity").agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.min("text").alias("surface"),
+        ),
+        resume)
+
+    return {
+        "sentences": sentences, "patterns": patterns_df,
+        "mentions": mentions, "tuples": tuples, "triples": triples,
+        "entities": entities,
+    }

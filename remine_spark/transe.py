@@ -1,0 +1,181 @@
+"""ReMine-Global: TransE-style cohesiveness scoring (SURVEY §2 M12/M13, J7, W1).
+
+The reference consumes externally-trained embeddings (postprocessing.py:7-25;
+the trainer is absent from the repo — utils.py:236-240 only preps its corpus)
+and ranks tuples by ‖e_subj + mean(e_rel) − e_obj‖₁ (postprocessing.py:27-55).
+Per the north star this engine trains those embeddings itself with the
+translating objective s + p ≈ o:
+
+- training edges: tuples exploded to (subj, rel, obj)
+- margin ranking loss, L1 distance, head/tail corruption negatives
+- mini-batch SGD where each epoch is one deterministic sample of the edge
+  table; per-partition gradient partial sums are reduced with
+  ``RDD.treeAggregate`` (log-depth combine — no driver fan-in bottleneck),
+  the driver applies the update and re-broadcasts.
+
+Determinism: negatives and batch sampling are seeded from (edge id, epoch)
+hashes, so retries/stragglers can't change the result (UDF retry safety at
+cluster scale).
+
+Scale notes: parameter matrices are (n_entities + n_relations) × dim and are
+broadcast each epoch — at web scale shard the entity matrix by hash and
+train per-shard (parameter-server pattern); the treeAggregate reduction and
+seeded sampling carry over unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T, Window as W
+
+
+def _stable_hash(*parts) -> int:
+    h = hashlib.md5("\x1f".join(str(p) for p in parts).encode()).digest()
+    return int.from_bytes(h[:8], "big")
+
+
+def edges_from_tuples(tuples: DataFrame) -> DataFrame:
+    """(subj, rel, obj) training edges: one per relation segment."""
+    return (
+        tuples.select("subj", F.explode("rels").alias("rel"), "obj")
+        .groupBy("subj", "rel", "obj")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+class TransEModel:
+    def __init__(self, ent2id: dict[str, int], rel2id: dict[str, int],
+                 dim: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        bound = 6.0 / np.sqrt(dim)
+        self.ent2id, self.rel2id = ent2id, rel2id
+        self.E = rng.uniform(-bound, bound, (max(len(ent2id), 1), dim))
+        self.R = rng.uniform(-bound, bound, (max(len(rel2id), 1), dim))
+        self._normalize()
+        self.dim = dim
+
+    def _normalize(self):
+        norms = np.maximum(np.linalg.norm(self.E, axis=1, keepdims=True), 1e-12)
+        self.E = self.E / norms
+
+
+def fit(
+    spark: SparkSession, tuples: DataFrame,
+    dim: int = 16, epochs: int = 20, lr: float = 0.05, margin: float = 1.0,
+    sample_fraction: float = 1.0, seed: int = 42,
+) -> TransEModel:
+    edges = edges_from_tuples(tuples).cache()
+    ents = sorted(
+        r[0] for r in
+        edges.select("subj").union(edges.select("obj")).distinct().collect()
+    )
+    rels = sorted(r[0] for r in edges.select("rel").distinct().collect())
+    model = TransEModel({e: i for i, e in enumerate(ents)},
+                        {r: i for i, r in enumerate(rels)}, dim=dim, seed=seed)
+    if not ents or not rels:
+        edges.unpersist()
+        return model
+
+    sc = spark.sparkContext
+    n_ent = len(ents)
+    edge_rdd = edges.select("subj", "rel", "obj").rdd.map(
+        lambda r: (r[0], r[1], r[2])
+    ).cache()
+
+    for epoch in range(epochs):
+        bc = sc.broadcast((model.E, model.R, model.ent2id, model.rel2id))
+
+        def grads(part):
+            E, R, e2i, r2i = bc.value
+            dE: dict[int, np.ndarray] = {}
+            dR: dict[int, np.ndarray] = {}
+            for (s, r, o) in part:
+                key = _stable_hash(s, r, o, epoch)
+                if sample_fraction < 1.0 and (key % 10_000) / 10_000.0 >= sample_fraction:
+                    continue
+                hi, ri, ti = e2i[s], r2i[r], e2i[o]
+                # corrupt head or tail deterministically
+                corrupt_head = (key >> 8) & 1
+                ni = (key >> 16) % n_ent
+                h, rr, t = E[hi], R[ri], E[ti]
+                if corrupt_head:
+                    h2, t2 = E[ni], t
+                    hi2, ti2 = ni, ti
+                else:
+                    h2, t2 = h, E[ni]
+                    hi2, ti2 = hi, ni
+                pos = h + rr - t
+                neg = h2 + rr - t2
+                loss = margin + np.abs(pos).sum() - np.abs(neg).sum()
+                if loss <= 0:
+                    continue
+                gp = np.sign(pos)       # d|x|/dx
+                gn = np.sign(neg)
+                for idx, g in ((hi, gp), (ti, -gp), (hi2, -gn), (ti2, gn)):
+                    dE[idx] = dE.get(idx, 0) + g
+                dR[ri] = dR.get(ri, 0) + (gp - gn)
+            yield (dE, dR)
+
+        def merge(a, b):
+            (ae, ar), (be, br) = a, b
+            for k, v in be.items():
+                ae[k] = ae.get(k, 0) + v
+            for k, v in br.items():
+                ar[k] = ar.get(k, 0) + v
+            return (ae, ar)
+
+        dE, dR = edge_rdd.mapPartitions(grads).treeAggregate(
+            ({}, {}), merge, merge, depth=2
+        )
+        bc.destroy()
+        for k, v in dE.items():
+            model.E[k] -= lr * v
+        for k, v in dR.items():
+            model.R[k] -= lr * v
+        model._normalize()
+    edge_rdd.unpersist()
+    edges.unpersist()
+    return model
+
+
+def embeddings_df(spark: SparkSession, model: TransEModel) -> DataFrame:
+    """Materialized embedding tables (FIXTURES.md §6 shape)."""
+    rows = [(p, "entity", [float(x) for x in model.E[i]])
+            for p, i in model.ent2id.items()]
+    rows += [(p, "relation", [float(x) for x in model.R[i]])
+             for p, i in model.rel2id.items()]
+    return spark.createDataFrame(
+        rows, schema="phrase string, kind string, vec array<float>")
+
+
+def score_and_rank(spark: SparkSession, tuples: DataFrame,
+                   model: TransEModel) -> DataFrame:
+    """M12 + W1: score = ‖e_subj + mean(e_rels) − e_obj‖₁
+    (postprocessing.py:40-50), rank per doc ascending (better = smaller)."""
+    bc = spark.sparkContext.broadcast(
+        (model.E, model.R, model.ent2id, model.rel2id))
+
+    @F.pandas_udf(T.DoubleType())
+    def transe_score(subj: pd.Series, rels: pd.Series, obj: pd.Series) -> pd.Series:
+        E, R, e2i, r2i = bc.value
+        out = []
+        for s, rl, o in zip(subj, rels, obj):
+            if s not in e2i or o not in e2i:
+                out.append(float("nan"))
+                continue
+            rvecs = [R[r2i[r]] for r in rl if r in r2i]
+            if not rvecs:
+                out.append(float("nan"))
+                continue
+            rm = np.mean(rvecs, axis=0)
+            out.append(float(np.abs(E[e2i[s]] + rm - E[e2i[o]]).sum()))
+        return pd.Series(out)
+
+    scored = tuples.withColumn(
+        "score", transe_score(F.col("subj"), F.col("rels"), F.col("obj")))
+    w = W.partitionBy("doc_id").orderBy(F.asc_nulls_last("score"),
+                                        F.asc("sent_id"), F.asc("subj"))
+    return scored.withColumn("rank", F.row_number().over(w))
