@@ -1,0 +1,215 @@
+"""Near-duplicate detection over the ``documents`` table: MinHash+LSH,
+exact-Jaccard verification, and SimHash banding.
+
+Exact (hash-groupBy) dedup lives in remine_spark.queries:dedup_exact; the
+reference pipeline's analogue of these ops is its pattern-identity rolling
+hash (frequent_pattern_mining.h:118-121) — here generalized to the standard
+web-scale document-dedup stack.
+
+Portability: both engines compute H32(s) = int(md5(s)[:8 hex], 16) so MinHash
+signatures and SimHash bits are bit-identical between Spark and the DuckDB
+oracle.
+
+Scale notes (100 TB):
+- Signatures are computed scan-side with array expressions (whole-stage
+  codegen, no Python); cost is O(tokens × K) per doc with no shuffle.
+- The only shuffles are groupBy/join on (band_id, band_signature) — hash
+  keys are uniform, so no skew; candidate-pair generation is confined to
+  LSH buckets (never a global cross join). A pathological bucket (all-empty
+  docs hashing identically) is exact-dup territory — run dedup_exact first,
+  and AQE skew-join splitting covers the rest.
+- Pair join is self-join on band signature: at 10^12 docs, bucket join is
+  sort-merge on the band key; signatures (16×8B) are small enough that the
+  bands table is ~128 B/doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from remine_spark.catalog import h32_duck, h32_spark, query, table
+
+N_HASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+JACCARD_MIN = 0.2
+HAMMING_MAX = 6
+
+# --- shared Spark fragments -----------------------------------------------
+
+_TOKS = "filter(split(text, ' '), x -> x != '')"
+_SHINGLES = (
+    "array_distinct(transform(sequence(1, size(toks)-1), "
+    "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1))))"
+)
+_H32_SHINGLE = h32_spark("concat(s, ':', cast(k as string))")
+_SIG = (
+    f"transform(sequence(0, {N_HASH - 1}), k -> array_min(transform(shingles, "
+    f"s -> {_H32_SHINGLE})))"
+)
+
+
+def _bands_df(spark, sf_dir):
+    """documents → (doc_id, band b, band-signature bsig) LSH band rows."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_TOKS).alias("toks")).filter("size(toks) >= 2")
+    sh = toks.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    sig = sh.select("doc_id", F.expr(_SIG).alias("sig"))
+    return sig.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("b"),
+        "sig",
+    ).select(
+        "doc_id", "b",
+        F.expr(
+            f"concat_ws('_', transform(slice(sig, cast(b*{ROWS_PER_BAND}+1 as int), "
+            f"{ROWS_PER_BAND}), x -> cast(x as string)))"
+        ).alias("bsig"),
+    )
+
+
+_DUCK_BANDS = f"""
+    t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS shingles
+           FROM t WHERE len(toks) >= 2),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, {N_HASH}), k -> list_min(
+                       list_transform(shingles,
+                           s -> {h32_duck("s || ':' || CAST(k AS VARCHAR)")}))) AS sig
+            FROM sh),
+    bands AS (SELECT doc_id, b,
+                     CAST(sig[b*{ROWS_PER_BAND}+1] AS VARCHAR) || '_' ||
+                     CAST(sig[b*{ROWS_PER_BAND}+2] AS VARCHAR) || '_' ||
+                     CAST(sig[b*{ROWS_PER_BAND}+3] AS VARCHAR) || '_' ||
+                     CAST(sig[b*{ROWS_PER_BAND}+4] AS VARCHAR) AS bsig
+              FROM sig, unnest(range(0, {N_BANDS})) AS u(b))
+"""
+
+
+@query("dedup_minhash_lsh", f"""
+    WITH {_DUCK_BANDS}
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+    FROM bands a JOIN bands c
+      ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id
+""")
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: word-bigram shingles → 16 minhashes
+    → 4 bands × 4 rows → bucket self-join. Shuffle key = (b, bsig)."""
+    bands = _bands_df(spark, sf_dir)
+    a = bands.alias("a")
+    c = bands.select(F.col("doc_id").alias("doc_b"), "b", "bsig").alias("c")
+    return (
+        a.join(c, (F.expr("a.b = c.b and a.bsig = c.bsig")
+                   & (F.col("a.doc_id") < F.col("doc_b"))))
+        .select(F.col("a.doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
+@query("dedup_minhash_jaccard", f"""
+    WITH {_DUCK_BANDS},
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+              FROM bands a JOIN bands c
+                ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+               AS jaccard
+    FROM pairs p JOIN sh sa ON p.doc_a = sa.doc_id
+                 JOIN sh sb ON p.doc_b = sb.doc_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+          >= {JACCARD_MIN}
+""")
+def dedup_minhash_jaccard(spark, sf_dir):
+    """LSH candidates verified by exact bigram-shingle Jaccard (the standard
+    two-phase near-dup pipeline: cheap candidate gen, exact verify only on
+    candidates). Verification joins shingle sets back in — at scale this is
+    a sort-merge join on doc_id against the (much smaller) candidate set."""
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", F.expr(_TOKS).alias("toks"))
+        .filter("size(toks) >= 2")
+        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.expr(
+            "round(size(array_intersect(sha, shb)) * cast(1.0 as double)"
+            " / size(array_union(sha, shb)), 4)"))
+        .filter(F.col("jaccard") >= JACCARD_MIN)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_DUCK_SIMHASH = f"""
+    tok AS (SELECT doc_id, tok, {h32_duck("tok")} AS h
+            FROM documents,
+                 unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(tok)),
+    bits AS (SELECT doc_id, b,
+                    CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bitval
+             FROM tok, unnest(range(0, 32)) AS u2(b)
+             GROUP BY doc_id, b),
+    sh AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+           FROM bits GROUP BY doc_id)
+"""
+
+
+@query("dedup_simhash", f"WITH {_DUCK_SIMHASH} SELECT doc_id, simhash FROM sh")
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document (token-multiplicity ±1 votes per bit).
+
+    Formulated as explode → distributed groupBy (doc_id, bit) → sum, i.e.
+    partial aggregation map-side; no per-row Python. At 100 TB the shuffle
+    key (doc_id, b) is perfectly uniform."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("tok"))
+    tok = tok.withColumn("h", F.expr(h32_spark("tok")))
+    bits = tok.select("doc_id", "h", F.explode(F.expr("sequence(0, 31)")).alias("b"))
+    bitvals = bits.groupBy("doc_id", "b").agg(
+        F.expr(
+            "case when sum(case when (shiftright(h, cast(b as int)) & 1) = 1 "
+            "then 1 else -1 end) > 0 "
+            "then shiftleft(cast(1 as bigint), cast(b as int)) "
+            "else cast(0 as bigint) end"
+        ).alias("bitval"))
+    return bitvals.groupBy("doc_id").agg(
+        F.sum("bitval").cast("bigint").alias("simhash"))
+
+
+@query("dedup_simhash_pairs", f"""
+    WITH {_DUCK_SIMHASH},
+    bands AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS bv
+              FROM sh, unnest(range(0, 4)) AS u3(b))
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           bit_count(xor(a.simhash, c.simhash)) AS hamming
+    FROM bands a JOIN bands c
+      ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.simhash, c.simhash)) <= {HAMMING_MAX}
+""")
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 4 bands of 8 bits each → band-equality
+    candidates → Hamming-distance verify (bit_count of XOR) ≤ 6."""
+    sh = dedup_simhash(spark, sf_dir)
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.expr("sequence(0, 3)")).alias("b"),
+    ).withColumn("bv", F.expr("shiftright(simhash, cast(b*8 as int)) & 255"))
+    a = bands.alias("a")
+    c = bands.select(F.col("doc_id").alias("doc_b"),
+                     F.col("simhash").alias("sim_b"), "b", "bv").alias("c")
+    return (
+        a.join(c, (F.expr("a.b = c.b and a.bv = c.bv")
+                   & (F.col("a.doc_id") < F.col("doc_b"))))
+        .withColumn("hamming", F.expr("bit_count(a.simhash ^ sim_b)"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select(F.col("a.doc_id").alias("doc_a"), "doc_b", "hamming")
+        .distinct()
+    )

@@ -1,0 +1,128 @@
+"""Multimodal-column plumbing: treat image/audio/video payloads as opaque
+``binary`` columns with typed metadata, processed by Arrow-batched
+``mapInPandas`` UDFs.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic stub (clearly marked; `decode_image_real` raises
+NotImplementedError unless PIL is importable) — but everything Spark-side is
+real and tested: schema, binary column handling, Arrow batch shape,
+partitioning, and the UDF signatures a production decoder would drop into.
+
+Payloads here are the utf-8 bytes of ``documents.text`` (deterministic), so
+the DuckDB oracle can verify the full plumbing arithmetically from
+octet_length(encode(text)).
+
+Scale notes: mapInPandas streams Arrow batches — binary payloads never
+materialize on the driver; spark.sql.execution.arrow.maxRecordsPerBatch
+bounds batch memory (set it so batch_bytes ≈ 64 MB for real images).
+Downstream joins key on url/doc_id, not payload bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from remine_spark.catalog import query, table
+
+FRAME_BYTES = 64       # stub: bytes per "video frame"
+FRAME_STRIDE = 8       # sample every 8th frame
+
+
+def decode_image_real(payload: bytes):
+    """Real image decode — requires PIL, absent in this container. The stub
+    path (`_decode_meta_batches`) mirrors its output schema exactly."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "image codecs not available in this environment; "
+            "use the deterministic stub decoder") from exc
+    import io
+    from PIL import Image
+    img = Image.open(io.BytesIO(payload))  # pragma: no cover
+    return {"width": img.width, "height": img.height, "mode": img.mode}
+
+
+_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("width", T.LongType()),
+    T.StructField("height", T.LongType()),
+    T.StructField("mode", T.StringType()),
+])
+
+
+def _decode_meta_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decoder: deterministic fake metadata from payload bytes.
+    Vectorized per Arrow batch — the exact shape a real decoder plugs into."""
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_bytes": n,
+            "width": 256 + (n % 256),
+            "height": 128 + (n * 7) % 256,
+            "mode": "RGB",
+        })
+
+
+def with_payload(df: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload BINARY): the opaque multimodal column."""
+    return df.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+
+@query("mm_decode_meta", """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           256 + (octet_length(encode(text)) % 256) AS width,
+           128 + (octet_length(encode(text)) * 7) % 256 AS height,
+           'RGB' AS mode
+    FROM documents
+""")
+def mm_decode_meta(spark, sf_dir):
+    """Binary decode → typed metadata via mapInPandas (Arrow batches).
+    The oracle recomputes the stub's arithmetic from octet_length — the
+    check covers the whole binary-column → UDF → struct path."""
+    d = table(spark, sf_dir, "documents")
+    return with_payload(d).mapInPandas(_decode_meta_batches, _META_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("n_sampled", T.LongType()),
+    T.StructField("first_frame_off", T.LongType()),
+])
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler: treat payload as FRAME_BYTES-sized frames, sample
+    every FRAME_STRIDE-th; emits offsets a real demuxer would."""
+    for pdf in batches:
+        n_bytes = pdf["payload"].map(len)
+        n_frames = n_bytes // FRAME_BYTES
+        n_sampled = (n_frames + FRAME_STRIDE - 1) // FRAME_STRIDE
+        yield pd.DataFrame({
+            "doc_id": pdf["doc_id"],
+            "n_frames": n_frames,
+            "n_sampled": n_sampled,
+            "first_frame_off": (n_frames > 0).astype("int64") * 0,
+        })
+
+
+@query("mm_frame_sample", f"""
+    SELECT doc_id,
+           octet_length(encode(text)) // {FRAME_BYTES} AS n_frames,
+           (octet_length(encode(text)) // {FRAME_BYTES} + {FRAME_STRIDE - 1})
+               // {FRAME_STRIDE} AS n_sampled,
+           0 AS first_frame_off
+    FROM documents
+""")
+def mm_frame_sample(spark, sf_dir):
+    """Video-style frame sampling over the opaque binary column (stub
+    demuxer; real plumbing). Output is per-doc frame inventory."""
+    d = table(spark, sf_dir, "documents")
+    return with_payload(d).mapInPandas(_frame_sample_batches, _FRAME_SCHEMA)

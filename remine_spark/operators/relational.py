@@ -1,0 +1,242 @@
+"""Additional SURVEY §2 relational rows as catalog entries: aligned-scan
+zip (S1), punctuation sentence splitting (P1), positional super-pattern
+join (J3), occurrence-context aggregates (A4), eval P/R counts (A11),
+regex relation matching (F8), and two TPC-H-shaped analytics probes
+(Q3/Q6 analogs) that exercise predicate pushdown + multi-join planning.
+
+Each docstring cites the reference behavior it re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from remine_spark.catalog import query, table
+
+_STOPS = "('the','a','of','in','and','is','to')"
+
+
+@query("s1_zip_scan", """
+    WITH dd AS (SELECT doc_id, n_chars,
+                       row_number() OVER (ORDER BY doc_id) AS rn FROM documents),
+         ee AS (SELECT vec_id, label,
+                       row_number() OVER (ORDER BY vec_id) AS rn FROM embeddings)
+    SELECT dd.doc_id, ee.vec_id, dd.n_chars, ee.label
+    FROM dd JOIN ee ON dd.rn = ee.rn
+""")
+def s1_zip_scan(spark, sf_dir):
+    """S1 (preprocessing.py:81-116; documents.h:149-316): the reference zips
+    three parallel positional files line-by-line. Relational form: row_number
+    zip-join of two sorted scans. (At scale: zipWithIndex per partition or a
+    shared monotonic key written at ingest — a global-order window is a
+    single-partition sort, noted as the known small-side-only variant.)"""
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+    dd = d.select("doc_id", "n_chars").withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id")))
+    ee = e.select("vec_id", "label").withColumn(
+        "rn", F.row_number().over(Window.orderBy("vec_id")))
+    return dd.join(ee, "rn").select("doc_id", "vec_id", "n_chars", "label")
+
+
+@query("p1_sentence_split", """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, toks[i] AS tok, i
+            FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+    marked AS (SELECT doc_id, tok, i,
+                      coalesce(sum(CASE WHEN tok = 'the' THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY i
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS sent_id
+               FROM tok)
+    SELECT doc_id, sent_id, count(*) AS n_tokens
+    FROM marked GROUP BY doc_id, sent_id
+""")
+def p1_sentence_split(spark, sf_dir):
+    """P1 (documents.h:318-358, segment.cpp:159-166): split the token stream
+    at separator tokens via a running-sum window (separator closes its
+    sentence). Synthetic docs have no punctuation, so 'the' plays the
+    separator role; the operator shape — posexplode + prefix-sum window
+    partitioned by doc — is exactly the scalable splitter."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text,' '), x -> x != '')"))
+        .alias("i", "tok"))
+    w = (Window.partitionBy("doc_id").orderBy("i")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    marked = tok.withColumn(
+        "sent_id",
+        F.coalesce(F.sum(F.when(F.col("tok") == "the", 1).otherwise(0)).over(w),
+                   F.lit(0)))
+    return marked.groupBy("doc_id", "sent_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"))
+
+
+@query("j3_superpattern", """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, toks[i] AS tok, i
+            FROM t, unnest(range(1, len(toks) + 1)) AS u(i))
+    SELECT a.tok || ' ' || b.tok || ' ' || c.tok AS ngram, count(*) AS freq
+    FROM tok a
+    JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    JOIN tok c ON a.doc_id = c.doc_id AND c.i = a.i + 2
+    GROUP BY 1 HAVING count(*) >= 3
+""")
+def j3_superpattern(spark, sf_dir):
+    """J3 (feature_extraction.h:165-180): super-pattern lookup — extend an
+    occurrence by its next token via a positional equi-join on
+    (doc_id, pos+1). Shuffle key (doc_id, pos) is uniform; at scale the
+    array-slide formulation (a2_bigram_minsup style) avoids the join
+    entirely — this entry keeps the join shape the reference uses."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text,' '), x -> x != '')"))
+        .alias("i", "tok"))
+    a = tok.select("doc_id", F.col("i").alias("ia"), F.col("tok").alias("w1"))
+    b = tok.select("doc_id", (F.col("i") - 1).alias("ia"), F.col("tok").alias("w2"))
+    c = tok.select("doc_id", (F.col("i") - 2).alias("ia"), F.col("tok").alias("w3"))
+    return (
+        a.join(b, ["doc_id", "ia"]).join(c, ["doc_id", "ia"])
+        .groupBy(F.concat_ws(" ", "w1", "w2", "w3").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 3)
+    )
+
+
+@query("a4_context_flags", f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM documents),
+    tok AS (SELECT doc_id, toks[i] AS tok, i
+            FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+    ctx AS (SELECT doc_id, tok, i,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+            FROM tok)
+    SELECT tok AS token, count(*) AS n_occ,
+           round(avg(CASE WHEN nxt IN {_STOPS} THEN 1.0 ELSE 0.0 END), 4)
+               AS ctx_stop_ratio
+    FROM ctx WHERE nxt IS NOT NULL
+    GROUP BY tok HAVING count(*) >= 20
+""")
+def a4_context_flags(spark, sf_dir):
+    """A4 (feature_extraction.h:209-250): per-pattern occurrence-context
+    aggregates — here, the fraction of occurrences whose following token is
+    a stopword. lead() window + groupBy avg, the same join-free shape the
+    reference computes with its positional inverted index."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text,' '), x -> x != '')"))
+        .alias("i", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("i")
+    ctx = tok.withColumn("nxt", F.lead("tok").over(w)).filter(
+        F.col("nxt").isNotNull())
+    stops = ("the", "a", "of", "in", "and", "is", "to")
+    return (
+        ctx.groupBy(F.col("tok").alias("token"))
+        .agg(F.count(F.lit(1)).alias("n_occ"),
+             F.round(F.avg(F.when(F.col("nxt").isin(*stops), 1.0)
+                           .otherwise(0.0)), 4).alias("ctx_stop_ratio"))
+        .filter(F.col("n_occ") >= 20)
+    )
+
+
+@query("a11_eval_pr", """
+    WITH m AS (SELECT doc_id,
+                      list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x LIKE 's%')) AS pred,
+                      list_distinct(list_filter(string_split(text, ' '),
+                                                x -> x LIKE '%e')) AS gold
+               FROM documents)
+    SELECT CAST(sum(len(pred)) AS BIGINT) AS sum_pred,
+           CAST(sum(len(gold)) AS BIGINT) AS sum_gold,
+           CAST(sum(len(list_intersect(pred, gold))) AS BIGINT) AS sum_correct
+    FROM m
+""")
+def a11_eval_pr(spark, sf_dir):
+    """A11 (utils.py:357-384 `compare`): precision/recall raw counts —
+    per-doc predicted vs gold sets, array_intersect sizes, global sums.
+    The driver-side P/R = sum_correct / sum_pred (resp. sum_gold)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        F.expr("array_distinct(filter(split(text,' '), x -> x like 's%'))")
+        .alias("pred"),
+        F.expr("array_distinct(filter(split(text,' '), x -> x like '%e'))")
+        .alias("gold"),
+    ).agg(
+        F.sum(F.size("pred")).cast("bigint").alias("sum_pred"),
+        F.sum(F.size("gold")).cast("bigint").alias("sum_gold"),
+        F.sum(F.size(F.array_intersect("pred", "gold"))).cast("bigint")
+        .alias("sum_correct"),
+    )
+
+
+@query("f8_regex_relation", """
+    SELECT doc_id, regexp_extract(text, 'join [a-z]+') AS rel
+    FROM documents WHERE regexp_extract(text, 'join [a-z]+') <> ''
+""")
+def f8_regex_relation(spark, sf_dir):
+    """F8 (utils.py:52-57): regex relation matcher (`V+W*P | V+P | V | N+P`
+    over POS strings in the reference) — the operator is regexp_extract over
+    a concatenated token span; pattern simplified to the corpus vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    rel = F.regexp_extract("text", "join [a-z]+", 0)
+    return d.select("doc_id", rel.alias("rel")).filter(F.col("rel") != "")
+
+
+@query("q6_revenue_delta", """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue_delta,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+""")
+def q6_revenue_delta(spark, sf_dir):
+    """TPC-H Q6 shape: tight conjunctive predicate → single global agg.
+    All four predicates push down to the parquet scan (PushedFilters);
+    verifies pushdown + codegen on the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_shipdate") >= "1994-01-01")
+                  & (F.col("l_shipdate") < "1995-01-01")
+                  & (F.col("l_discount").between(0.05, 0.07))
+                  & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue_delta"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@query("q3_order_revenue", """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(floor(epoch(any_value(o_orderdate))) AS BIGINT) AS order_epoch
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey LIMIT 20
+""")
+def q3_order_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k
+    (TakeOrderedAndProject, no global sort). Timestamps surface as epoch
+    seconds per catalog convention."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o.filter(F.col("o_orderstatus") == "O"),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.unix_timestamp(F.any_value("o_orderdate")).alias("order_epoch"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(20)
+    )

@@ -1,0 +1,189 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding
+FLOAT[64], label).
+
+Three operators:
+- ann_cosine_topk   — brute-force cosine top-k (the correctness baseline);
+- ann_lsh_topk      — random-hyperplane LSH buckets, top-k within bucket
+                      (the scale path: turns O(N·Q) into O(N·Q/2^planes));
+- embedding_near_dup — all pairs with cosine ≥ τ (embedding near-dup dedup).
+
+Determinism/portability: hyperplane weights are ±1 derived from md5 parity
+(same literal arrays inlined into the Spark plan and the DuckDB oracle), and
+every dot product is a left-to-right DOUBLE fold, so scores are bit-identical
+across engines before rounding.
+
+Scale notes (100 TB / 10^9 vectors):
+- brute force: queries are broadcast (small side), candidates stream —
+  no shuffle until the per-query top-k (partial TakeOrdered per partition).
+- LSH: bucket assignment is scan-side arithmetic (no Python, no shuffle);
+  the join is sort-merge on bucket id; multiprobe (flip lowest-confidence
+  bits) is the standard recall fix, noted but not needed at test scale.
+- IVF alternative: k-means coarse quantizer via pyspark.ml KMeans, probe
+  nearest cells — same join shape as the LSH variant.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window, functions as F
+
+from remine_spark.catalog import query, table
+
+DIM = 64
+N_PLANES = 8
+TOPK_BRUTE = 5
+TOPK_LSH = 3
+NEAR_DUP_TAU = 0.35
+
+
+def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes from md5 parity (seeded by
+    (plane, dim) — stable across engines, retries, and cluster sizes)."""
+    return [
+        [1.0 if int(hashlib.md5(f"plane:{p}:{i}".encode()).hexdigest()[:8], 16) & 1
+         else -1.0 for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+_PLANES = hyperplanes()
+
+# (plane p, weight array) rows inlined as literals on both sides.
+_W_SPARK = "array(" + ",".join(
+    "array(" + ",".join(f"{w}D" for w in row) + ")" for row in _PLANES) + ")"
+_W_DUCK = "[" + ",".join(
+    "[" + ",".join(f"CAST({w} AS DOUBLE)" for w in row) + "]" for row in _PLANES) + "]"
+
+_V_SPARK = "transform(embedding, x -> cast(x as double))"
+_V_DUCK = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+_DOT_SPARK = ("round(aggregate(zip_with(qv, v, (x, y) -> x*y), 0.0D, "
+              "(acc, x2) -> acc + x2), 6)")
+_DOT_DUCK = (f"round(list_reduce(list_transform(range(1, {DIM + 1}), "
+             "i -> qv[i] * v[i]), (acc, x2) -> acc + x2), 6)")
+
+
+@query("ann_cosine_topk", f"""
+    WITH v AS (SELECT vec_id, {_V_DUCK} AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id < 10),
+    s AS (SELECT q_id, vec_id AS cand_id, {_DOT_DUCK} AS cos
+          FROM q, v WHERE vec_id <> q_id)
+    SELECT q_id, cand_id, cos, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, cand_id) AS rnk
+        FROM s)
+    WHERE rnk <= {TOPK_BRUTE}
+""")
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the (small) query set against the
+    full vector table; vectors are unit-norm so dot = cosine. The window is
+    partitioned by q_id (bounded cardinality) — at scale replace row_number
+    with a partial top-k agg (`F.max_by`/TakeOrdered) to avoid a full sort."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
+    q = v.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    s = (
+        v.crossJoin(F.broadcast(q))
+        .filter("vec_id <> q_id")
+        .select("q_id", F.col("vec_id").alias("cand_id"),
+                F.expr(_DOT_SPARK).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return s.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOPK_BRUTE)
+
+
+_BUCKET_SPARK = (
+    f"aggregate(transform(sequence(0, {N_PLANES - 1}), p -> case when "
+    f"aggregate(zip_with(element_at({_W_SPARK}, cast(p+1 as int)), v, "
+    "(x, y) -> x*y), 0.0D, (acc, x2) -> acc + x2) > 0 "
+    f"then shiftleft(cast(1 as bigint), cast({N_PLANES - 1} - p as int)) "
+    "else cast(0 as bigint) end), cast(0 as bigint), (a2, b2) -> a2 + b2)"
+)
+
+_DUCK_BUCKETS = f"""
+    v AS (SELECT vec_id, {_V_DUCK} AS v FROM embeddings),
+    bits AS (SELECT vec_id, p,
+                    CASE WHEN list_reduce(list_transform(range(1, {DIM + 1}),
+                             i -> ({_W_DUCK})[p+1][i] * v[i]),
+                             (acc, x2) -> acc + x2) > 0
+                         THEN (CAST(1 AS BIGINT) << ({N_PLANES - 1} - p))
+                         ELSE 0 END AS bv
+             FROM v, unnest(range(0, {N_PLANES})) AS u(p)),
+    bk AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket
+           FROM bits GROUP BY vec_id)
+"""
+
+
+@query("ann_lsh_buckets", f"""
+    WITH {_DUCK_BUCKETS}
+    SELECT bucket, count(*) AS n_vecs FROM bk GROUP BY bucket
+""")
+def ann_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment (8 planes → 256 buckets):
+    sign-bit concatenation of deterministic ±1 hyperplane projections.
+    Pure scan-side arithmetic; bucket histogram shows the skew profile."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
+    bk = v.select("vec_id", F.expr(_BUCKET_SPARK).alias("bucket"))
+    return bk.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+@query("ann_lsh_topk", f"""
+    WITH {_DUCK_BUCKETS},
+    vb AS (SELECT v.vec_id, v.v, bk.bucket FROM v JOIN bk ON v.vec_id = bk.vec_id),
+    q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM vb WHERE vec_id < 10),
+    s AS (SELECT q.q_id, vb.vec_id AS cand_id, {_DOT_DUCK} AS cos
+          FROM q JOIN vb ON q.bucket = vb.bucket AND vb.vec_id <> q.q_id
+          WHERE vb.v IS NOT NULL)
+    SELECT q_id, cand_id, cos, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, cand_id) AS rnk
+        FROM s)
+    WHERE rnk <= {TOPK_LSH}
+""")
+def ann_lsh_topk(spark, sf_dir):
+    """ANN top-k restricted to the query's LSH bucket — the scale path:
+    candidates shrink by ~2^planes; recall is tunable via plane count and
+    multiprobe. Join is an equi-join on bucket (sort-merge at scale,
+    broadcast here since the query side is tiny)."""
+    emb = table(spark, sf_dir, "embeddings")
+    vb = emb.select("vec_id", F.expr(_V_SPARK).alias("v")).withColumn(
+        "bucket", F.expr(_BUCKET_SPARK))
+    q = vb.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket")
+    s = (
+        vb.join(F.broadcast(q), "bucket")
+        .filter("vec_id <> q_id")
+        .select("q_id", F.col("vec_id").alias("cand_id"),
+                F.expr(_DOT_SPARK).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return s.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOPK_LSH)
+
+
+@query("embedding_near_dup", f"""
+    WITH v AS (SELECT vec_id, {_V_DUCK} AS v FROM embeddings)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round(list_reduce(list_transform(range(1, {DIM + 1}),
+                 i -> a.v[i] * c.v[i]), (acc, x2) -> acc + x2), 6) AS cos
+    FROM v a JOIN v c ON a.vec_id < c.vec_id
+    WHERE round(list_reduce(list_transform(range(1, {DIM + 1}),
+          i -> a.v[i] * c.v[i]), (acc, x2) -> acc + x2), 6) >= {NEAR_DUP_TAU}
+""")
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.35). Exact all-pairs here
+    (test-scale); at 100 TB gate the pair join behind ann_lsh_buckets
+    (join on bucket first) exactly as dedup_minhash_lsh gates Jaccard."""
+    emb = table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"))
+    c = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v"))
+    return (
+        a.join(c, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.expr(_DOT_SPARK).alias("cos"))
+        .filter(F.col("cos") >= NEAR_DUP_TAU)
+    )

@@ -13,20 +13,11 @@ the bare table names.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
+from pyspark.sql import functions as F, Window as W
 
-QUERIES: dict[str, dict] = {}
+from remine_spark.catalog import QUERIES, query as _q, table as _t
 
-
-def _q(name: str, sql: str | None):
-    def deco(fn):
-        QUERIES[name] = {"spark": fn, "sql": sql}
-        return fn
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+__all__ = ["QUERIES"]
 
 
 # ---------------------------------------------------------------------------
@@ -433,3 +424,8 @@ def lang_id_heuristic(spark, sf_dir):
         .groupBy("lang", "pred")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# Extended operator catalog: dedup / similarity / text-stats / multimodal /
+# relational SURVEY §2 rows register themselves on import.
+from remine_spark import operators  # noqa: E402,F401
