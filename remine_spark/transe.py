@@ -81,42 +81,64 @@ def fit(
 
     sc = spark.sparkContext
     n_ent = len(ents)
+    # Pre-resolve ids and the per-edge base hash ONCE (md5 per edge per epoch
+    # was the old hot spot); the epoch key is derived arithmetically below —
+    # still deterministic per (edge, epoch), so retries are stable.
+    e2i, r2i = model.ent2id, model.rel2id
     edge_rdd = edges.select("subj", "rel", "obj").rdd.map(
-        lambda r: (r[0], r[1], r[2])
+        lambda r: (e2i[r[0]], r2i[r[1]], e2i[r[2]], _stable_hash(r[0], r[1], r[2]))
     ).cache()
 
     for epoch in range(epochs):
-        bc = sc.broadcast((model.E, model.R, model.ent2id, model.rel2id))
+        bc = sc.broadcast((model.E, model.R))
 
         def grads(part):
-            E, R, e2i, r2i = bc.value
-            dE: dict[int, np.ndarray] = {}
-            dR: dict[int, np.ndarray] = {}
-            for (s, r, o) in part:
-                key = _stable_hash(s, r, o, epoch)
-                if sample_fraction < 1.0 and (key % 10_000) / 10_000.0 >= sample_fraction:
-                    continue
-                hi, ri, ti = e2i[s], r2i[r], e2i[o]
-                # corrupt head or tail deterministically
-                corrupt_head = (key >> 8) & 1
-                ni = (key >> 16) % n_ent
-                h, rr, t = E[hi], R[ri], E[ti]
-                if corrupt_head:
-                    h2, t2 = E[ni], t
-                    hi2, ti2 = ni, ti
-                else:
-                    h2, t2 = h, E[ni]
-                    hi2, ti2 = hi, ni
-                pos = h + rr - t
-                neg = h2 + rr - t2
-                loss = margin + np.abs(pos).sum() - np.abs(neg).sum()
-                if loss <= 0:
-                    continue
-                gp = np.sign(pos)       # d|x|/dx
-                gn = np.sign(neg)
-                for idx, g in ((hi, gp), (ti, -gp), (hi2, -gn), (ti2, gn)):
-                    dE[idx] = dE.get(idx, 0) + g
-                dR[ri] = dR.get(ri, 0) + (gp - gn)
+            E, R = bc.value
+            rows = list(part)
+            if not rows:
+                yield ({}, {})
+                return
+            arr = np.asarray(rows, dtype=np.uint64)
+            hi, ri, ti = (arr[:, 0].astype(np.int64), arr[:, 1].astype(np.int64),
+                          arr[:, 2].astype(np.int64))
+            # splitmix-style epoch mix of the precomputed base hash
+            # (epoch constant folded in Python ints — intended mod-2^64 wrap)
+            epoch_mix = np.uint64((epoch * 0x9E3779B97F4A7C15) % (1 << 64))
+            key = arr[:, 3] + epoch_mix
+            key ^= key >> np.uint64(31)
+            key *= np.uint64(0xBF58476D1CE4E5B9)
+            key ^= key >> np.uint64(27)
+            if sample_fraction < 1.0:
+                keep = (key % np.uint64(10_000)).astype(np.float64) / 10_000.0 < sample_fraction
+                hi, ri, ti, key = hi[keep], ri[keep], ti[keep], key[keep]
+                if hi.size == 0:
+                    yield ({}, {})
+                    return
+            corrupt_head = ((key >> np.uint64(8)) & np.uint64(1)).astype(bool)
+            ni = ((key >> np.uint64(16)) % np.uint64(n_ent)).astype(np.int64)
+            hi2 = np.where(corrupt_head, ni, hi)
+            ti2 = np.where(corrupt_head, ti, ni)
+            rr = R[ri]
+            pos = E[hi] + rr - E[ti]
+            neg = E[hi2] + rr - E[ti2]
+            loss = margin + np.abs(pos).sum(axis=1) - np.abs(neg).sum(axis=1)
+            act = loss > 0
+            if not act.any():
+                yield ({}, {})
+                return
+            gp = np.sign(pos[act])
+            gn = np.sign(neg[act])
+            # scatter-add into compacted per-partition gradient rows
+            eidx = np.concatenate([hi[act], ti[act], hi2[act], ti2[act]])
+            egrd = np.concatenate([gp, -gp, -gn, gn])
+            uniq, inv = np.unique(eidx, return_inverse=True)
+            accE = np.zeros((uniq.size, E.shape[1]))
+            np.add.at(accE, inv, egrd)
+            dE = {int(k): accE[j] for j, k in enumerate(uniq)}
+            runiq, rinv = np.unique(ri[act], return_inverse=True)
+            accR = np.zeros((runiq.size, R.shape[1]))
+            np.add.at(accR, rinv, gp - gn)
+            dR = {int(k): accR[j] for j, k in enumerate(runiq)}
             yield (dE, dR)
 
         def merge(a, b):
@@ -130,7 +152,7 @@ def fit(
         dE, dR = edge_rdd.mapPartitions(grads).treeAggregate(
             ({}, {}), merge, merge, depth=2
         )
-        bc.destroy()
+        bc.unpersist()
         for k, v in dE.items():
             model.E[k] -= lr * v
         for k, v in dR.items():
