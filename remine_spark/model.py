@@ -253,19 +253,25 @@ def adjust_constraints(
     segmentation.h:884-967): segment → count chosen multi-word span
     signatures → deps_prob[sig] = cnt / total, until relative energy change
     < rel_eps. Returns the energy trajectory."""
+    from pyspark.sql import Observation
+
     energies: list[float] = []
     last = 1e100
     for _ in range(inner_iters):
         bc = spark.sparkContext.broadcast(model.payload())
-        seg = segment_sentences(sentences, bc).cache()
-        energy = seg.agg(F.sum("energy")).first()[0] or 0.0
+        # single corpus pass per iteration: the signature counts are the
+        # job's result and the energy rides along as an Observation metric
+        # (no cache, no second action — halves the EM job count)
+        obs = Observation()
+        seg = segment_sentences(sentences, bc).observe(
+            obs, F.sum("energy").alias("energy"))
         stats = (
             seg.select(F.explode("sigs").alias("signature"))
             .groupBy("signature")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         )
-        seg.unpersist()
+        energy = obs.get["energy"] or 0.0
         cnts = {r.signature: int(r.cnt) for r in stats}
         model.deps_prob = {
             s: cnts.get(s, 0) / t for s, t in model.tree_total.items() if t > 0

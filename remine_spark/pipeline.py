@@ -34,17 +34,35 @@ def _exists(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def _lineage(spark: SparkSession, workdir: str, stage: str, df: DataFrame,
+def _lineage(spark: SparkSession, workdir: str, stage: str, path: str,
              wall_s: float) -> None:
-    """Per-partition lineage/metrics rows (north_rule)."""
-    per_part = (
-        df.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(F.count(F.lit(1)).alias("rows"))
-        .withColumn("stage", F.lit(stage))
-        .withColumn("wall_s", F.lit(float(wall_s)))
-        .withColumn("ts", F.current_timestamp())
-    )
-    per_part.write.mode("append").parquet(os.path.join(workdir, "lineage"))
+    """Per-partition lineage/metrics rows (north_rule): one row per written
+    file (file == write partition), read from the parquet FOOTERS — no extra
+    Spark job per checkpoint (footer metadata is exact and already on disk)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    now = time.time()
+    rows = []
+    for pid, f in enumerate(sorted(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))):
+        rows.append((pid, int(pq.ParquetFile(f).metadata.num_rows), stage,
+                     float(wall_s), now, os.path.relpath(f, path)))
+    import pyarrow as pa
+
+    table = pa.table({
+        "partition_id": pa.array([r[0] for r in rows], pa.int32()),
+        "rows": pa.array([r[1] for r in rows], pa.int64()),
+        "stage": pa.array([r[2] for r in rows]),
+        "wall_s": pa.array([r[3] for r in rows], pa.float64()),
+        "ts": pa.array([int(r[4] * 1e6) for r in rows],
+                       pa.timestamp("us", tz="UTC")),
+        "file": pa.array([r[5] for r in rows]),
+    })
+    ldir = os.path.join(workdir, "lineage")
+    os.makedirs(ldir, exist_ok=True)
+    pq.write_table(table, os.path.join(ldir, f"{stage}-{int(now * 1000)}.parquet"))
 
 
 def checkpoint(spark: SparkSession, workdir: str, stage: str, df: DataFrame,
@@ -60,7 +78,7 @@ def checkpoint(spark: SparkSession, workdir: str, stage: str, df: DataFrame,
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
         out = spark.read.parquet(path)
-        _lineage(spark, workdir, stage, out, time.time() - t0)
+        _lineage(spark, workdir, stage, path, time.time() - t0)
         return out
     return spark.read.parquet(path)
 

@@ -101,55 +101,80 @@ def render_html(text: str) -> bytes:
     ).encode("utf-8")
 
 
+_WEIGHTS = None
+
+
+def _weights():
+    global _WEIGHTS
+    if _WEIGHTS is None:
+        _WEIGHTS = (
+            _zipf_weights(len(ORGS)), _zipf_weights(len(LOCS)),
+            _zipf_weights(len(VERBS), 0.8), _zipf_weights(len(NOUNS), 0.8),
+        )
+    return _WEIGHTS
+
+
+def _gen_doc(i: int, seed: int) -> dict:
+    """Doc i, seeded per (seed, i) — computable on any executor without
+    sequential RNG state, so corpus generation is itself shuffle-free and
+    embarrassingly parallel (the property a 10^12-doc synthetic run needs)."""
+    ow, lw, vw, nw = _weights()
+    rng = random.Random(seed * 1_000_003 + i)
+    epoch = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
+    url = f"https://example.org/doc/{i:08d}"
+    ts = epoch + _dt.timedelta(seconds=137 * i)
+    if rng.random() < 0.08:
+        lang = rng.choice(["de", "fr"])
+        words = _NOISE_DE if lang == "de" else _NOISE_FR
+        n_sent = rng.randint(1, 3)
+        sents = [
+            " ".join(rng.choices(words, k=rng.randint(4, 9))) + " ."
+            for _ in range(n_sent)
+        ]
+        text = "\n".join(sents)
+        return dict(url=url, warc_ts=ts, html=render_html(text), text=text,
+                    lang=lang, gold_triples=[])
+    n_sent = rng.randint(1, 10)
+    sents, gold = [], []
+    for _ in range(n_sent):
+        toks, tris = _sentence(rng, ow, lw, vw, nw)
+        sents.append(" ".join(toks))
+        gold.extend(tris)
+    text = "\n".join(sents)
+    return dict(url=url, warc_ts=ts, html=render_html(text), text=text,
+                lang="en", gold_triples=gold)
+
+
 def generate_docs(n_docs: int, seed: int = 42) -> list[dict]:
     """Deterministic corpus. ~8% non-en rows (must be filtered, not crash)."""
-    rng = random.Random(seed)
-    ow, lw = _zipf_weights(len(ORGS)), _zipf_weights(len(LOCS))
-    vw, nw = _zipf_weights(len(VERBS), 0.8), _zipf_weights(len(NOUNS), 0.8)
-    epoch = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc)
-    docs = []
-    for i in range(n_docs):
-        url = f"https://example.org/doc/{i:08d}"
-        ts = epoch + _dt.timedelta(seconds=137 * i)
-        if rng.random() < 0.08:
-            lang = rng.choice(["de", "fr"])
-            words = _NOISE_DE if lang == "de" else _NOISE_FR
-            n_sent = rng.randint(1, 3)
-            sents = [
-                " ".join(rng.choices(words, k=rng.randint(4, 9))) + " ."
-                for _ in range(n_sent)
-            ]
-            text = "\n".join(sents)
-            docs.append(
-                dict(url=url, warc_ts=ts, html=render_html(text), text=text,
-                     lang=lang, gold_triples=[])
-            )
-            continue
-        n_sent = rng.randint(1, 10)
-        sents, gold = [], []
-        for _ in range(n_sent):
-            toks, tris = _sentence(rng, ow, lw, vw, nw)
-            sents.append(" ".join(toks))
-            gold.extend(tris)
-        text = "\n".join(sents)
-        docs.append(
-            dict(url=url, warc_ts=ts, html=render_html(text), text=text,
-                 lang="en", gold_triples=gold)
-        )
-    return docs
+    return [_gen_doc(i, seed) for i in range(n_docs)]
 
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
 def pages_df(spark, n_docs: int, seed: int = 42, num_partitions: int | None = None):
-    """pages DataFrame matching the input_hint schema."""
-    docs = generate_docs(n_docs, seed)
-    rows = [(d["url"], d["warc_ts"], d["html"], d["text"], d["lang"]) for d in docs]
-    df = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
-    if num_partitions:
-        df = df.repartition(num_partitions, "url")
-    return df
+    """pages DataFrame matching the input_hint schema, generated ON THE
+    EXECUTORS (mapInPandas over a range) — the driver never materializes the
+    corpus, so input prep scales with the cluster like a real crawl scan."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            docs = [_gen_doc(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame({
+                "url": [d["url"] for d in docs],
+                "warc_ts": pd.Series(
+                    [d["warc_ts"].replace(tzinfo=None) for d in docs],
+                    dtype="datetime64[us]"),
+                "html": pd.Series([d["html"] for d in docs], dtype=object),
+                "text": [d["text"] for d in docs],
+                "lang": [d["lang"] for d in docs],
+            })
+
+    parts = num_partitions or max(2, n_docs // 2000)
+    rng_df = spark.range(0, n_docs, numPartitions=parts)
+    return rng_df.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
 def analytic_gold(docs: list[dict]) -> list[tuple[str, str, str, str]]:

@@ -68,11 +68,15 @@ def fit(
     sample_fraction: float = 1.0, seed: int = 42,
 ) -> TransEModel:
     edges = edges_from_tuples(tuples).cache()
-    ents = sorted(
-        r[0] for r in
-        edges.select("subj").union(edges.select("obj")).distinct().collect()
+    # one job for both vocabularies (entities + relations, tagged union)
+    vocab = (
+        edges.select(F.col("subj").alias("t"), F.lit("e").alias("k"))
+        .union(edges.select(F.col("obj"), F.lit("e")))
+        .union(edges.select(F.col("rel"), F.lit("r")))
+        .distinct().collect()
     )
-    rels = sorted(r[0] for r in edges.select("rel").distinct().collect())
+    ents = sorted(r.t for r in vocab if r.k == "e")
+    rels = sorted(r.t for r in vocab if r.k == "r")
     model = TransEModel({e: i for i, e in enumerate(ents)},
                         {r: i for i, r in enumerate(rels)}, dim=dim, seed=seed)
     if not ents or not rels:
@@ -149,9 +153,14 @@ def fit(
                 ar[k] = ar.get(k, 0) + v
             return (ae, ar)
 
-        dE, dR = edge_rdd.mapPartitions(grads).treeAggregate(
-            ({}, {}), merge, merge, depth=2
-        )
+        if edge_rdd.getNumPartitions() <= 64:
+            # small fan-in: plain aggregate = one stage per epoch
+            dE, dR = edge_rdd.mapPartitions(grads).aggregate(
+                ({}, {}), merge, merge)
+        else:
+            # cluster scale: log-depth combine, no driver fan-in bottleneck
+            dE, dR = edge_rdd.mapPartitions(grads).treeAggregate(
+                ({}, {}), merge, merge, depth=2)
         bc.unpersist()
         for k, v in dE.items():
             model.E[k] -= lr * v

@@ -8,7 +8,9 @@ import pytest
 
 from remine_spark import eval as ev, pipeline, synth
 
-N_DOCS = 150
+# large enough that grammar entities clear MIN_SUP (the analytic-gold floor
+# is a tail-frequency property: recall 0.73@150 → 0.82@250 → 0.87@400 docs)
+N_DOCS = 250
 
 
 @pytest.fixture(scope="module")
