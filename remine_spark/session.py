@@ -26,16 +26,26 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]``; pass ``local[8]`` etc.
     for the two-parallelism scaling benchmark.
     """
-    if master is None:
+    # under spark-submit (PythonRunner pre-creates the py4j gateway and sets
+    # PYSPARK_GATEWAY_PORT) the cluster master comes from the submit command;
+    # do not override it unless the caller passed one explicitly
+    under_submit = master is None and "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and not under_submit:
         master = f"local[{DEFAULT_CPUS}]"
     if shuffle_partitions is None:
-        # match core count in local mode; never the 200 default
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
-        shuffle_partitions = DEFAULT_CPUS if n == "*" else int(n)
+        # match core count in local mode; never the 200 default.
+        # (on a real cluster pass ~2-3x total executor cores instead)
+        if master and "[" in master:
+            n = master[master.find("[") + 1 : master.find("]")]
+            shuffle_partitions = DEFAULT_CPUS if n == "*" else int(n)
+        else:
+            shuffle_partitions = DEFAULT_CPUS
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
