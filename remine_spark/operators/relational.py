@@ -240,3 +240,94 @@ def q3_order_revenue(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(20)
     )
+
+
+@query("a5_range_window_join", """
+    SELECT a.event_type, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_id <> b.event_id
+     AND abs(floor(epoch(a.ts)) - floor(epoch(b.ts))) <= 600
+    GROUP BY a.event_type
+""")
+def a5_range_window_join(spark, sf_dir):
+    """A5 (feature_extraction.h:299-344): the reference's ±2-sentence
+    outside-context window as a range self-join — equi-key (user_id) plus a
+    band predicate on event time. At scale: bucket ts into 600s bins and
+    equi-join on (user_id, bin±1) so the band never degenerates into a
+    per-key cross product; AQE skew-split covers hot users."""
+    from pyspark.sql import functions as F
+    e = table(spark, sf_dir, "events")
+    a = e.select("user_id", F.col("event_id").alias("ida"),
+                 F.unix_timestamp("ts").alias("tsa"), "event_type")
+    b = e.select("user_id", F.col("event_id").alias("idb"),
+                 F.unix_timestamp("ts").alias("tsb"))
+    return (
+        a.join(b, "user_id")
+        .filter((F.col("ida") != F.col("idb"))
+                & (F.abs(F.col("tsa") - F.col("tsb")) <= 600))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query("so3_union_pools", """
+    SELECT nationkey, count(*) AS n_sources FROM (
+        SELECT DISTINCT c_nationkey AS nationkey, 'c' AS src FROM customer
+        UNION
+        SELECT DISTINCT s_nationkey AS nationkey, 's' AS src FROM supplier)
+    GROUP BY nationkey
+""")
+def so3_union_pools(spark, sf_dir):
+    """SO3 (label_generation.h:100-109): union of pools with dedup."""
+    from pyspark.sql import functions as F
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("c").alias("src")).distinct()
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("s").alias("src")).distinct()
+    return (c.union(s).distinct()
+            .groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_sources")))
+
+
+@query("so5_dedup_labels", """
+    SELECT count(*) AS n_unique FROM (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+""")
+def so5_dedup_labels(spark, sf_dir):
+    """SO5 (label_generation.h:85-99 sort+unique): dropDuplicates →
+    map-side partial distinct then exchange on the dedup key."""
+    from pyspark.sql import functions as F
+    li = table(spark, sf_dir, "lineitem")
+    return (li.select("l_partkey", "l_suppkey").dropDuplicates()
+            .agg(F.count(F.lit(1)).alias("n_unique")))
+
+
+@query("f1_canonicalize", """
+    SELECT lower(array_to_string(string_split(text, ' ')[1:2], '_')) AS canon,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1 HAVING count(*) >= 2
+""")
+def f1_canonicalize(spark, sf_dir):
+    """F1 (postprocessing.py:316,326-327): lowercase + underscore-join
+    phrase canonicalization — the entity-canonicalization key function."""
+    from pyspark.sql import functions as F
+    d = table(spark, sf_dir, "documents")
+    canon = F.lower(F.expr("array_join(slice(split(text, ' '), 1, 2), '_')"))
+    return (d.select(canon.alias("canon"))
+            .groupBy("canon").agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") >= 2))
+
+
+@query("q18_large_orders", """
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+""")
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 inner shape: groupBy + HAVING on the aggregate (partial
+    agg map-side; the HAVING cannot push below the agg — verified shape)."""
+    from pyspark.sql import functions as F
+    li = table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("raw_qty"))
+            .filter(F.col("raw_qty") > 300)
+            .select("l_orderkey", F.round("raw_qty", 2).alias("sum_qty")))
