@@ -22,7 +22,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("REMINE_BENCH_DOCS", "3000"))
+BENCH_DOCS = int(os.environ.get("REMINE_BENCH_DOCS", "24000"))
 # scaling runs need enough input that parallel compute dominates fixed
 # session/job overhead, otherwise the N→4N proxy measures JVM constants
 SCALING_DOCS = int(os.environ.get("REMINE_SCALING_DOCS", "12000"))
@@ -76,12 +76,26 @@ def new_session(master: str):
 
 
 def main() -> None:
+    if "--one" in sys.argv:
+        # single measurement in a clean process (used by --scaling)
+        n = int(sys.argv[sys.argv.index("--one") + 1])
+        spark = new_session(f"local[{n}]")
+        print("RESULT " + json.dumps(run_pipeline_bench(spark, SCALING_DOCS)))
+        spark.stop()
+        return
+
     if "--scaling" in sys.argv:
+        # each level in its own subprocess: fresh JVM + python-worker pool,
+        # no cross-session state (stopped-context accumulator sockets etc.)
+        import subprocess
         results = {}
         for n in (8, 32):
-            spark = new_session(f"local[{n}]")
-            results[n] = run_pipeline_bench(spark, SCALING_DOCS)
-            spark.stop()
+            out = subprocess.run(
+                [sys.executable, __file__, "--one", str(n)],
+                capture_output=True, text=True, check=True)
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("RESULT ")][-1]
+            results[n] = json.loads(line[len("RESULT "):])
         eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
         line = {
             "metric": "pipeline_scaling_local8_vs_local32",

@@ -65,6 +65,16 @@ def _lineage(spark: SparkSession, workdir: str, stage: str, path: str,
     pq.write_table(table, os.path.join(ldir, f"{stage}-{int(now * 1000)}.parquet"))
 
 
+def _read_wide(spark: SparkSession, path: str) -> DataFrame:
+    """Re-read a stage checkpoint. Scan parallelism (and therefore the task
+    count of every python stage downstream) is governed by
+    spark.sql.files.maxPartitionBytes — the session factory sizes it so
+    local checkpoints split across all cores; a real cluster's inputs are
+    thousands of partitions regardless. No repartition here: a shuffle in
+    the re-read plan would be re-paid by every downstream pass."""
+    return spark.read.parquet(path)
+
+
 def checkpoint(spark: SparkSession, workdir: str, stage: str, df: DataFrame,
                resume: bool = True, partition_cols: list[str] | None = None
                ) -> DataFrame:
@@ -77,10 +87,8 @@ def checkpoint(spark: SparkSession, workdir: str, stage: str, df: DataFrame,
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
-        out = spark.read.parquet(path)
         _lineage(spark, workdir, stage, path, time.time() - t0)
-        return out
-    return spark.read.parquet(path)
+    return _read_wide(spark, path)
 
 
 def save_model(workdir: str, m: model_mod.SegModel) -> None:
@@ -125,6 +133,12 @@ def run_pipeline(
         resume)
 
     # 3. ReMine-Local fit (A6/A7/A8 + M9)
+    # The fit + mention/tuple stages make ~6 full passes over sentences.
+    # They deliberately re-scan the parquet checkpoint rather than a Spark
+    # cache: parquet→Arrow is columnar→columnar (fast into pandas UDFs),
+    # while a row-format cache pays row→Arrow conversion on every pass —
+    # measured slower. Scan width is file-per-partition via the session's
+    # openCostInBytes (checkpoint files = 2×cores by construction).
     m = load_model(workdir) if resume else None
     if m is None:
         tree_total = model_mod.subtree_census(sentences, max_len)
@@ -150,7 +164,7 @@ def run_pipeline(
     triples = ranked.select(
         "url", "doc_id", "sent_id", "subj", "pred", "obj", "score", "rank",
         F.pmod(F.xxhash64("subj"), F.lit(TRIPLE_BUCKETS)).alias("bucket"),
-    ).repartition(F.col("bucket"))
+    ).repartition(TRIPLE_BUCKETS, F.col("bucket"))  # one file per bucket
     triples = checkpoint(spark, workdir, "triples", triples, resume,
                          partition_cols=["bucket"])
 

@@ -52,6 +52,18 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # local-scale file splitting: checkpointed stages are small (MBs),
+        # and default 128MB packing would cap python-stage parallelism at a
+        # handful of tasks; 8MB keeps every core busy. On a real cluster
+        # (TBs per stage) raise via SPARK_GRAFT_MAX_PARTITION_BYTES.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)))
+        # openCost == maxPartitionBytes → small checkpoint files are NOT
+        # packed together: scan partitions ≈ file count, and stage writers
+        # emit 2×cores files, so python stages re-reading a checkpoint get
+        # full-width parallelism (cluster-scale files are ≥128MB and split
+        # by maxPartitionBytes regardless)
+        .config("spark.sql.files.openCostInBytes", str(8 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

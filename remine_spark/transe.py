@@ -9,9 +9,10 @@ translating objective s + p ≈ o:
 - training edges: tuples exploded to (subj, rel, obj)
 - margin ranking loss, L1 distance, head/tail corruption negatives
 - mini-batch SGD where each epoch is one deterministic sample of the edge
-  table; per-partition gradient partial sums are reduced with
-  ``RDD.treeAggregate`` (log-depth combine — no driver fan-in bottleneck),
-  the driver applies the update and re-broadcasts.
+  table; an Arrow mapInPandas kernel emits compacted per-batch gradient
+  partials, the driver (or, at cluster scale, a groupBy pre-sum — the
+  log-fan-in equivalent of treeAggregate) merges them, applies the update,
+  and re-broadcasts.
 
 Determinism: negatives and batch sampling are seeded from (edge id, epoch)
 hashes, so retries/stragglers can't change the result (UDF retry safety at
@@ -19,22 +20,16 @@ cluster scale).
 
 Scale notes: parameter matrices are (n_entities + n_relations) × dim and are
 broadcast each epoch — at web scale shard the entity matrix by hash and
-train per-shard (parameter-server pattern); the treeAggregate reduction and
-seeded sampling carry over unchanged.
+train per-shard (parameter-server pattern); the mergeable-partials kernel
+and seeded sampling carry over unchanged.
 """
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T, Window as W
-
-
-def _stable_hash(*parts) -> int:
-    h = hashlib.md5("\x1f".join(str(p) for p in parts).encode()).digest()
-    return int.from_bytes(h[:8], "big")
 
 
 def edges_from_tuples(tuples: DataFrame) -> DataFrame:
@@ -67,12 +62,28 @@ def fit(
     dim: int = 16, epochs: int = 20, lr: float = 0.05, margin: float = 1.0,
     sample_fraction: float = 1.0, seed: int = 42,
 ) -> TransEModel:
-    edges = edges_from_tuples(tuples).cache()
+    """Mini-batch TransE training. Each epoch is ONE Arrow job over the
+    cached edge table: a mapInPandas gradient kernel emits compacted
+    per-batch gradient rows (kind, idx, grad[dim]) which the driver merges
+    and applies. Gradients ride the same Arrow python-worker pool as every
+    other stage (no separate RDD-API pickle workers — those cold-start a
+    second pool and dominated wall time at high core counts). At cluster
+    scale, insert a `groupBy(kind, idx)` elementwise pre-sum before the
+    collect (log-fan-in equivalent of treeAggregate) — the kernel already
+    emits mergeable partials, so only the reduction site changes."""
+    from pyspark import StorageLevel
+
+    edges = edges_from_tuples(tuples)
+    # id resolution + per-edge base hash JVM-side, materialized once
+    edf = edges.select(
+        "subj", "rel", "obj",
+        F.xxhash64("subj", "rel", "obj", F.lit(seed)).alias("h"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # one job for both vocabularies (entities + relations, tagged union)
     vocab = (
-        edges.select(F.col("subj").alias("t"), F.lit("e").alias("k"))
-        .union(edges.select(F.col("obj"), F.lit("e")))
-        .union(edges.select(F.col("rel"), F.lit("r")))
+        edf.select(F.col("subj").alias("t"), F.lit("e").alias("k"))
+        .union(edf.select(F.col("obj"), F.lit("e")))
+        .union(edf.select(F.col("rel"), F.lit("r")))
         .distinct().collect()
     )
     ents = sorted(r.t for r in vocab if r.k == "e")
@@ -80,95 +91,73 @@ def fit(
     model = TransEModel({e: i for i, e in enumerate(ents)},
                         {r: i for i, r in enumerate(rels)}, dim=dim, seed=seed)
     if not ents or not rels:
-        edges.unpersist()
+        edf.unpersist()
         return model
 
     sc = spark.sparkContext
     n_ent = len(ents)
-    # Pre-resolve ids and the per-edge base hash ONCE (md5 per edge per epoch
-    # was the old hot spot); the epoch key is derived arithmetically below —
-    # still deterministic per (edge, epoch), so retries are stable.
     e2i, r2i = model.ent2id, model.rel2id
-    edge_rdd = edges.select("subj", "rel", "obj").rdd.map(
-        lambda r: (e2i[r[0]], r2i[r[1]], e2i[r[2]], _stable_hash(r[0], r[1], r[2]))
-    ).cache()
+    grad_schema = "kind string, idx long, g array<double>"
 
     for epoch in range(epochs):
         bc = sc.broadcast((model.E, model.R))
 
-        def grads(part):
+        def grads(batches):
             E, R = bc.value
-            rows = list(part)
-            if not rows:
-                yield ({}, {})
-                return
-            arr = np.asarray(rows, dtype=np.uint64)
-            hi, ri, ti = (arr[:, 0].astype(np.int64), arr[:, 1].astype(np.int64),
-                          arr[:, 2].astype(np.int64))
-            # splitmix-style epoch mix of the precomputed base hash
-            # (epoch constant folded in Python ints — intended mod-2^64 wrap)
-            epoch_mix = np.uint64((epoch * 0x9E3779B97F4A7C15) % (1 << 64))
-            key = arr[:, 3] + epoch_mix
-            key ^= key >> np.uint64(31)
-            key *= np.uint64(0xBF58476D1CE4E5B9)
-            key ^= key >> np.uint64(27)
-            if sample_fraction < 1.0:
-                keep = (key % np.uint64(10_000)).astype(np.float64) / 10_000.0 < sample_fraction
-                hi, ri, ti, key = hi[keep], ri[keep], ti[keep], key[keep]
+            for pdf in batches:
+                hi = pdf["subj"].map(e2i).to_numpy(dtype=np.int64)
+                ri = pdf["rel"].map(r2i).to_numpy(dtype=np.int64)
+                ti = pdf["obj"].map(e2i).to_numpy(dtype=np.int64)
+                # splitmix-style epoch mix of the precomputed base hash
+                # (constants folded in Python ints — intended mod-2^64 wrap)
+                key = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64).copy()
+                key += np.uint64((epoch * 0x9E3779B97F4A7C15) % (1 << 64))
+                key ^= key >> np.uint64(31)
+                key *= np.uint64(0xBF58476D1CE4E5B9)
+                key ^= key >> np.uint64(27)
+                if sample_fraction < 1.0:
+                    keep = ((key % np.uint64(10_000)).astype(np.float64)
+                            / 10_000.0 < sample_fraction)
+                    hi, ri, ti, key = hi[keep], ri[keep], ti[keep], key[keep]
                 if hi.size == 0:
-                    yield ({}, {})
-                    return
-            corrupt_head = ((key >> np.uint64(8)) & np.uint64(1)).astype(bool)
-            ni = ((key >> np.uint64(16)) % np.uint64(n_ent)).astype(np.int64)
-            hi2 = np.where(corrupt_head, ni, hi)
-            ti2 = np.where(corrupt_head, ti, ni)
-            rr = R[ri]
-            pos = E[hi] + rr - E[ti]
-            neg = E[hi2] + rr - E[ti2]
-            loss = margin + np.abs(pos).sum(axis=1) - np.abs(neg).sum(axis=1)
-            act = loss > 0
-            if not act.any():
-                yield ({}, {})
-                return
-            gp = np.sign(pos[act])
-            gn = np.sign(neg[act])
-            # scatter-add into compacted per-partition gradient rows
-            eidx = np.concatenate([hi[act], ti[act], hi2[act], ti2[act]])
-            egrd = np.concatenate([gp, -gp, -gn, gn])
-            uniq, inv = np.unique(eidx, return_inverse=True)
-            accE = np.zeros((uniq.size, E.shape[1]))
-            np.add.at(accE, inv, egrd)
-            dE = {int(k): accE[j] for j, k in enumerate(uniq)}
-            runiq, rinv = np.unique(ri[act], return_inverse=True)
-            accR = np.zeros((runiq.size, R.shape[1]))
-            np.add.at(accR, rinv, gp - gn)
-            dR = {int(k): accR[j] for j, k in enumerate(runiq)}
-            yield (dE, dR)
+                    continue
+                corrupt_head = ((key >> np.uint64(8)) & np.uint64(1)).astype(bool)
+                ni = ((key >> np.uint64(16)) % np.uint64(n_ent)).astype(np.int64)
+                hi2 = np.where(corrupt_head, ni, hi)
+                ti2 = np.where(corrupt_head, ti, ni)
+                rr = R[ri]
+                pos = E[hi] + rr - E[ti]
+                neg = E[hi2] + rr - E[ti2]
+                loss = margin + np.abs(pos).sum(axis=1) - np.abs(neg).sum(axis=1)
+                act = loss > 0
+                if not act.any():
+                    continue
+                gp = np.sign(pos[act])      # d|x|/dx
+                gn = np.sign(neg[act])
+                # scatter-add into compacted per-batch gradient rows
+                eidx = np.concatenate([hi[act], ti[act], hi2[act], ti2[act]])
+                egrd = np.concatenate([gp, -gp, -gn, gn])
+                uniq, inv = np.unique(eidx, return_inverse=True)
+                accE = np.zeros((uniq.size, E.shape[1]))
+                np.add.at(accE, inv, egrd)
+                runiq, rinv = np.unique(ri[act], return_inverse=True)
+                accR = np.zeros((runiq.size, R.shape[1]))
+                np.add.at(accR, rinv, gp - gn)
+                yield pd.DataFrame({
+                    "kind": ["e"] * uniq.size + ["r"] * runiq.size,
+                    "idx": np.concatenate([uniq, runiq]),
+                    "g": [list(v) for v in accE] + [list(v) for v in accR],
+                })
 
-        def merge(a, b):
-            (ae, ar), (be, br) = a, b
-            for k, v in be.items():
-                ae[k] = ae.get(k, 0) + v
-            for k, v in br.items():
-                ar[k] = ar.get(k, 0) + v
-            return (ae, ar)
-
-        if edge_rdd.getNumPartitions() <= 64:
-            # small fan-in: plain aggregate = one stage per epoch
-            dE, dR = edge_rdd.mapPartitions(grads).aggregate(
-                ({}, {}), merge, merge)
-        else:
-            # cluster scale: log-depth combine, no driver fan-in bottleneck
-            dE, dR = edge_rdd.mapPartitions(grads).treeAggregate(
-                ({}, {}), merge, merge, depth=2)
+        for row in edf.mapInPandas(grads, schema=grad_schema).collect():
+            g = np.asarray(row.g)
+            if row.kind == "e":
+                model.E[row.idx] -= lr * g
+            else:
+                model.R[row.idx] -= lr * g
         bc.unpersist()
-        for k, v in dE.items():
-            model.E[k] -= lr * v
-        for k, v in dR.items():
-            model.R[k] -= lr * v
         model._normalize()
-    edge_rdd.unpersist()
-    edges.unpersist()
+    edf.unpersist()
     return model
 
 

@@ -86,3 +86,14 @@ def test_entry_contract_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_checkpoint_scan_splitting_configured(run, spark):
+    """Small-file packing must not collapse checkpoint re-reads to 1-2 scan
+    partitions (that caps every downstream python stage regardless of
+    cores): the session pins maxPartitionBytes low locally, and the re-read
+    splits across multiple tasks even for this tiny corpus."""
+    _wd, out, _docs = run
+    assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")
+               .rstrip("b")) <= 8 * 1024 * 1024
+    assert out["sentences"].rdd.getNumPartitions() > 1
