@@ -79,11 +79,19 @@ def _remine_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["entities"]
 
 
+def _remine_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _run_flagship(spark, sf_dir)
+    return out["edges"].select(
+        "subj_id", "obj_id", "subj", "pred", "obj", "score", "rank",
+        "doc_id", "sent_id", "url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: spec["spark"] for name, spec in _CATALOG.items()}
     out["remine_triples"] = _remine_triples
     out["remine_mentions"] = _remine_mentions
     out["remine_entities"] = _remine_entities
+    out["remine_edges"] = _remine_edges
     return out
 
 

@@ -168,7 +168,11 @@ def run_pipeline(
     triples = checkpoint(spark, workdir, "triples", triples, resume,
                          partition_cols=["bucket"])
 
-    # entity canonicalization map: mention surface → canonical form
+    # entity canonicalization map: mention surface → canonical form, with a
+    # stable shuffle-free entity_id (xxhash64 of the canonical form —
+    # computable on any executor; a 64-bit space makes collisions
+    # negligible at 10^9 entities, and an id table join stays available if
+    # exact density is ever required)
     entities = checkpoint(
         spark, workdir, "entities",
         mentions.select(
@@ -177,11 +181,38 @@ def run_pipeline(
         ).groupBy("entity").agg(
             F.count(F.lit(1)).alias("freq"),
             F.min("text").alias("surface"),
-        ),
+        ).withColumn("entity_id", F.xxhash64("entity")),
         resume)
+
+    # entity linking + graph edges (north_star: "triples,
+    # entity-canonicalization maps, and graph edges"): triples' endpoint
+    # surfaces resolve to canonical entity ids via broadcast joins (the
+    # entity map is the small side; at extreme entity cardinality switch to
+    # a bucketed sort-merge join on `entity`), salted on subj_id
+    if "entity_id" not in entities.columns:
+        # resumed from a pre-entity_id checkpoint: the id is a pure function
+        # of the canonical form, so deriving it on read is identical
+        entities = entities.withColumn("entity_id", F.xxhash64("entity"))
+    ent_ids = entities.select("entity", "entity_id")
+    subj_ids = ent_ids.select(F.col("entity").alias("subj"),
+                              F.col("entity_id").alias("subj_id"))
+    obj_ids = ent_ids.select(F.col("entity").alias("obj"),
+                             F.col("entity_id").alias("obj_id"))
+    edges = (
+        triples.join(F.broadcast(subj_ids), "subj", "left")
+        .join(F.broadcast(obj_ids), "obj", "left")
+        .select(
+            "subj_id", "obj_id", "subj", "pred", "obj", "score", "rank",
+            "doc_id", "sent_id", "url",
+            F.pmod(F.coalesce("subj_id", F.lit(0)),
+                   F.lit(TRIPLE_BUCKETS)).alias("bucket"))
+        .repartition(TRIPLE_BUCKETS, F.col("bucket"))
+    )
+    edges = checkpoint(spark, workdir, "edges", edges, resume,
+                       partition_cols=["bucket"])
 
     return {
         "sentences": sentences, "patterns": patterns_df,
         "mentions": mentions, "tuples": tuples, "triples": triples,
-        "entities": entities,
+        "entities": entities, "edges": edges,
     }

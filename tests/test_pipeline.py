@@ -97,3 +97,22 @@ def test_checkpoint_scan_splitting_configured(run, spark):
     assert int(spark.conf.get("spark.sql.files.maxPartitionBytes")
                .rstrip("b")) <= 8 * 1024 * 1024
     assert out["sentences"].rdd.getNumPartitions() > 1
+
+
+def test_edges_linked_to_entities(run, spark):
+    """Graph edges: triples' endpoints resolved to canonical entity_ids via
+    the entity map; link rate must be high (subjects ARE mentions).
+    Re-reads from disk: earlier tests may have overwritten checkpoints,
+    invalidating the fixture DataFrames' cached file listings."""
+    wd, _out, _docs = run
+    edges = spark.read.parquet(os.path.join(wd, "edges"))
+    triples = spark.read.parquet(os.path.join(wd, "triples"))
+    entities = spark.read.parquet(os.path.join(wd, "entities"))
+    n = edges.count()
+    assert n == triples.count()
+    linked = edges.filter("subj_id IS NOT NULL AND obj_id IS NOT NULL").count()
+    assert linked / n >= 0.8, f"link rate {linked / n}"
+    ents = {r.entity: r.entity_id for r in entities.collect()}
+    sample = edges.filter("subj_id IS NOT NULL").limit(5).collect()
+    for r in sample:
+        assert ents.get(r.subj) == r.subj_id
