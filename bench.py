@@ -7,8 +7,9 @@ Default mode (what the driver runs): headline operator queries at
 deterministic synthetic pages corpus. Prints ONE JSON line.
 
 ``--scaling``: the north_rule two-cluster-size proxy — identical pipeline
-job at local[8] and local[32] on the same input; reports docs/sec at both
-and efficiency = (T8/T32)/4. Appends a markdown row to BENCH.md.
+job at local[N] and local[4N] (default 4→16, see SCALING_N note) on the
+same input; reports docs/sec at both and efficiency =
+(docs/s@4N / docs/s@N) / 4. Appends a markdown row to BENCH.md.
 """
 
 from __future__ import annotations
@@ -25,7 +26,13 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("REMINE_BENCH_DOCS", "24000"))
 # scaling runs need enough input that parallel compute dominates fixed
 # session/job overhead, otherwise the N→4N proxy measures JVM constants
-SCALING_DOCS = int(os.environ.get("REMINE_SCALING_DOCS", "12000"))
+SCALING_DOCS = int(os.environ.get("REMINE_SCALING_DOCS", "1000000"))
+# N and 4N task slots for the scaling proxy. Every Arrow-python task slot
+# needs one JVM feeder thread AND one python worker, so local[32] on a
+# 32-core box runs 64 busy threads (2:1 oversubscribed) — a hardware
+# artifact a real 4N-executor cluster doesn't have. 4→16 slots keeps both
+# configs within the box's 32 cores (16 slots + 16 feeders at the top).
+SCALING_N = int(os.environ.get("REMINE_SCALING_N", "4"))
 
 HEADLINE = [
     "q1_pricing_summary", "a2_bigram_minsup", "a3_token_idf",
@@ -89,27 +96,28 @@ def main() -> None:
         # no cross-session state (stopped-context accumulator sockets etc.)
         import subprocess
         results = {}
-        for n in (8, 32):
+        for n in (SCALING_N, SCALING_N * 4):
             out = subprocess.run(
                 [sys.executable, __file__, "--one", str(n)],
                 capture_output=True, text=True, check=True)
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("RESULT ")][-1]
             results[n] = json.loads(line[len("RESULT "):])
-        eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / 4.0
+        lo, hi = SCALING_N, SCALING_N * 4
+        eff = (results[hi]["docs_per_sec"] / results[lo]["docs_per_sec"]) / 4.0
         line = {
-            "metric": "pipeline_scaling_local8_vs_local32",
+            "metric": f"pipeline_scaling_local{lo}_vs_local{hi}",
             "docs": SCALING_DOCS,
-            "local8_docs_per_sec": results[8]["docs_per_sec"],
-            "local32_docs_per_sec": results[32]["docs_per_sec"],
+            f"local{lo}_docs_per_sec": results[lo]["docs_per_sec"],
+            f"local{hi}_docs_per_sec": results[hi]["docs_per_sec"],
             "efficiency_n_to_4n": round(eff, 3),
         }
         print(json.dumps(line))
         with open("BENCH.md", "a") as fh:
             fh.write(
                 f"| {time.strftime('%Y-%m-%d %H:%M')} | {SCALING_DOCS} docs | "
-                f"{results[8]['docs_per_sec']} docs/s @8 | "
-                f"{results[32]['docs_per_sec']} docs/s @32 | "
+                f"{results[lo]['docs_per_sec']} docs/s @{lo} | "
+                f"{results[hi]['docs_per_sec']} docs/s @{hi} | "
                 f"{round(eff, 3)} |\n")
         return
 

@@ -118,8 +118,14 @@ def run_pipeline(
     outer_iters: int = 2, inner_iters: int = 4,
     transe_epochs: int = 20, transe_dim: int = 16,
     resume: bool = True,
+    quality_pools: tuple[set, set] | None = None,
 ) -> dict[str, DataFrame]:
-    """Full run. Returns the materialized stage DataFrames."""
+    """Full run. Returns the materialized stage DataFrames.
+
+    ``quality_pools=(entity_pool, relation_pool)`` switches the phrase
+    quality source from the deterministic rule table to the pyspark.ml
+    DPDN RandomForest (classifier.py — M3/M4/M5); downstream consumes
+    only the (indicator, quality) contract either way."""
     os.makedirs(workdir, exist_ok=True)
 
     # 1. sentences (S1 + UDF1/UDF2)
@@ -127,10 +133,16 @@ def run_pipeline(
         spark, workdir, "sentences", sentences_from_pages(pages), resume)
 
     # 2. patterns (A1/A2 + M3/M5 quality)
-    patterns_df = checkpoint(
-        spark, workdir, "patterns",
-        model_mod.assign_quality(mining.mine_patterns(sentences, min_sup, max_len)),
-        resume)
+    raw_patterns = mining.mine_patterns(sentences, min_sup, max_len)
+    if quality_pools is not None:
+        from remine_spark import classifier
+
+        rf, asm = classifier.fit_quality_forest(
+            raw_patterns, quality_pools[0], quality_pools[1])
+        scored_patterns = classifier.assign_quality_ml(raw_patterns, rf, asm)
+    else:
+        scored_patterns = model_mod.assign_quality(raw_patterns)
+    patterns_df = checkpoint(spark, workdir, "patterns", scored_patterns, resume)
 
     # 3. ReMine-Local fit (A6/A7/A8 + M9)
     # The fit + mention/tuple stages make ~6 full passes over sentences.
