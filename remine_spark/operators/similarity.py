@@ -187,3 +187,38 @@ def embedding_near_dup(spark, sf_dir):
         .select("vec_a", "vec_b", F.expr(_DOT_SPARK).alias("cos"))
         .filter(F.col("cos") >= NEAR_DUP_TAU)
     )
+
+
+@query("ann_ivf_topk", None)  # rows-only: the oracle cannot replicate KMeans
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer (pyspark.ml, seeded) → probe the
+    query's cell → exact cosine top-k within it. The classic
+    inverted-file index: candidate count drops by ~n_cells; recall is
+    tunable via nprobe (here 1) and n_cells. Clustering is one
+    ml job; cell assignment is a broadcast-model JVM transform; the probe
+    join is an equi-join on cell id (sort-merge at scale).
+
+    Rows-only driver check (KMeans is not SQL-expressible in DuckDB);
+    determinism: fixed seed + fixed input → stable centroids locally."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window, functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    feat = emb.select("vec_id", F.expr(_V_SPARK).alias("v"),
+                      array_to_vector(F.col("embedding")).alias("features"))
+    km = KMeans(k=16, seed=42, maxIter=20, featuresCol="features")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(
+        "vec_id", "v", F.col("prediction").alias("cell"))
+    q = assigned.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell")
+    s = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter("vec_id <> q_id")
+        .select("q_id", F.col("vec_id").alias("cand_id"),
+                F.expr(_DOT_SPARK).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return s.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOPK_LSH)
