@@ -44,11 +44,17 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bump when stage schemas / pipeline outputs change: keeps resume=True from
+# reusing checkpoints written by an older code version in a shared /tmp
+_ENTRY_VERSION = "v2"
+
+
 def _run_flagship(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     pages = _pages_from_documents(spark, sf_dir)
     workdir = os.path.join(
         tempfile.gettempdir(),
-        "remine_entry_" + os.path.basename(os.path.normpath(sf_dir)))
+        f"remine_entry_{_ENTRY_VERSION}_"
+        + os.path.basename(os.path.normpath(sf_dir)))
     return _pipeline.run_pipeline(
         spark, pages, workdir,
         inner_iters=2, transe_epochs=5, resume=True)

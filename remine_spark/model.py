@@ -271,7 +271,15 @@ def adjust_constraints(
             .agg(F.count(F.lit(1)).alias("cnt"))
             .collect()
         )
-        energy = obs.get["energy"] or 0.0
+        try:
+            energy = obs.get["energy"] or 0.0
+        except Exception:
+            # Spark 4.1 asserts retrieving observed metrics when the
+            # downstream explode produced zero rows (degenerate corpora with
+            # no multi-word segments); fall back to a dedicated energy pass
+            energy = (
+                segment_sentences(sentences, bc)
+                .agg(F.sum("energy")).first()[0] or 0.0)
         cnts = {r.signature: int(r.cnt) for r in stats}
         model.deps_prob = {
             s: cnts.get(s, 0) / t for s, t in model.tree_total.items() if t > 0
