@@ -116,3 +116,25 @@ def test_edges_linked_to_entities(run, spark):
     sample = edges.filter("subj_id IS NOT NULL").limit(5).collect()
     for r in sample:
         assert ents.get(r.subj) == r.subj_id
+
+
+def test_salting_bounds_zipf_skew(run, spark):
+    """The synthetic corpus has Zipfian head entities (synth.py); the
+    subj-hash salting must keep bucket sizes bounded: no bucket may hold
+    more than ~a quarter of all triples even though the head entity is
+    far more frequent than the median."""
+    wd, _out, _docs = run
+    triples = spark.read.parquet(os.path.join(wd, "triples"))
+    n = triples.count()
+    import pyspark.sql.functions as F
+    top_ent = (triples.groupBy("subj").count()
+               .orderBy(F.desc("count")).first())
+    by_bucket = triples.groupBy("bucket").count().collect()
+    max_share = max(r["count"] for r in by_bucket) / n
+    # head entity is heavy…
+    assert top_ent["count"] / n > 0.05
+    # …but buckets stay bounded (64 buckets; hash spreads the head's rows
+    # only per-entity — all of one entity lands in one bucket, so the bound
+    # is the head entity's own share plus noise, far below a hot-partition)
+    assert max_share < 0.3, f"bucket skew {max_share:.3f}"
+    assert len(by_bucket) > 8

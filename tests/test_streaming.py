@@ -121,3 +121,40 @@ def test_stateful_running_totals(spark, tmpdirs):
     }
     got = {k: (n, round(s, 4)) for k, (n, s) in final.items()}
     assert got == want
+
+
+def test_incremental_kg_update(spark, tmpdirs, tmp_path):
+    """Batch-trained model + streaming foreachBatch: new pages produce
+    triples equivalent to a batch run of the same extraction stages."""
+    from pyspark.sql import functions as F
+
+    from remine_spark import pipeline, tuples as tuples_mod
+    from remine_spark.streaming import kg_update
+
+    # 1. batch run trains + saves the model
+    wd = str(tmp_path / "batch_wd")
+    train_pages = synth.pages_df(spark, 80, seed=21, num_partitions=3)
+    pipeline.run_pipeline(spark, train_pages, wd,
+                          inner_iters=2, transe_epochs=2, resume=False)
+
+    # 2. new pages arrive as files; stream them through the frozen model
+    new_pages = synth.pages_df(spark, 40, seed=99, num_partitions=2)
+    new_pages.write.mode("append").parquet(tmpdirs["in"])
+    kg_update.run_incremental_kg(
+        spark, tmpdirs["in"], tmpdirs["out"], tmpdirs["ckpt"], wd)
+    got = spark.read.parquet(tmpdirs["out"])
+    n1 = got.count()
+    assert n1 > 0
+    assert {"subj", "pred", "obj", "bucket", "epoch_id"} <= set(got.columns)
+
+    # equivalence: same extraction on the same input in batch
+    m = pipeline.load_model(wd)
+    bc = spark.sparkContext.broadcast(m.payload())
+    want = tuples_mod.tuples_df(
+        sentences_from_pages(spark.read.parquet(tmpdirs["in"])), bc)
+    assert n1 == want.count()
+
+    # 3. relaunch with no new files → nothing appended
+    kg_update.run_incremental_kg(
+        spark, tmpdirs["in"], tmpdirs["out"], tmpdirs["ckpt"], wd)
+    assert spark.read.parquet(tmpdirs["out"]).count() == n1
