@@ -126,3 +126,54 @@ def mm_frame_sample(spark, sf_dir):
     demuxer; real plumbing). Output is per-doc frame inventory."""
     d = table(spark, sf_dir, "documents")
     return with_payload(d).mapInPandas(_frame_sample_batches, _FRAME_SCHEMA)
+
+
+_EMB_DIM = 16
+
+_EMBED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+
+def _embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB image-embedding model: deterministic unit vector from payload
+    bytes (md5-seeded). A real model (CLIP etc.) drops into this exact
+    Arrow batch signature; at scale set arrow.maxRecordsPerBatch so one
+    batch of decoded images fits the accelerator."""
+    import hashlib
+
+    import numpy as np
+
+    for pdf in batches:
+        vecs = []
+        for payload in pdf["payload"]:
+            seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+            rng = np.random.default_rng(seed)
+            v = rng.standard_normal(_EMB_DIM)
+            vecs.append((v / np.linalg.norm(v)).astype("float32").tolist())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+
+
+@query("mm_embed_neighbors", None)  # rows-only: stub model, not SQL-expressible
+def mm_embed_neighbors(spark, sf_dir):
+    """End-to-end multimodal retrieval path: binary payload → Arrow-batched
+    embedding UDF → brute-force cosine top-3 per query doc. The plumbing
+    (binary column, batch shape, unit-norm contract, join + window) is the
+    production shape; only the encoder is stubbed."""
+    d = table(spark, sf_dir, "documents")
+    emb = with_payload(d).mapInPandas(_embed_batches, _EMBED_SCHEMA)
+    v = emb.select("doc_id", F.expr(
+        "transform(embedding, x -> cast(x as double))").alias("v"))
+    q = v.filter("doc_id < 5").select(
+        F.col("doc_id").alias("q_id"), F.col("v").alias("qv"))
+    s = (
+        v.crossJoin(F.broadcast(q))
+        .filter("doc_id <> q_id")
+        .select("q_id", F.col("doc_id").alias("cand_id"),
+                F.expr("round(aggregate(zip_with(qv, v, (x, y) -> x*y), "
+                       "0.0D, (acc, x2) -> acc + x2), 6)").alias("cos"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return s.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 3")
