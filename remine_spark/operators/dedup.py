@@ -42,11 +42,23 @@ _SHINGLES = (
     "array_distinct(transform(sequence(1, size(toks)-1), "
     "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1))))"
 )
-_H32_SHINGLE = h32_spark("concat(s, ':', cast(k as string))")
+# one md5 per shingle, then a universal-hash family derives the K minhash
+# functions arithmetically: h_k(s) = (a_k·H32(s) + b_k) mod p. 16× fewer
+# md5 evaluations than hashing (shingle, k) pairs; identical on both
+# engines because the arithmetic is integer-exact.
+_MERSENNE_P = (1 << 31) - 1
+_UH_A = [2 * k + 1 for k in range(1, N_HASH + 1)]          # odd multipliers
+_UH_B = [(k * k * 7919 + 104729) % _MERSENNE_P for k in range(N_HASH)]
+_HS = f"transform(shingles, s -> {h32_spark('s')})"
 _SIG = (
-    f"transform(sequence(0, {N_HASH - 1}), k -> array_min(transform(shingles, "
-    f"s -> {_H32_SHINGLE})))"
+    "transform(hs_ab, ab -> array_min(transform(hs, "
+    f"h -> pmod(element_at(ab, 1) * h + element_at(ab, 2), {_MERSENNE_P}))))"
 )
+_AB_SPARK = "array(" + ",".join(
+    f"array({a}L,{b}L)" for a, b in zip(_UH_A, _UH_B)) + ")"
+_AB_DUCK = "[" + ",".join(
+    f"[CAST({a} AS BIGINT), CAST({b} AS BIGINT)]"
+    for a, b in zip(_UH_A, _UH_B)) + "]"
 
 
 def _bands_df(spark, sf_dir):
@@ -54,7 +66,11 @@ def _bands_df(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(_TOKS).alias("toks")).filter("size(toks) >= 2")
     sh = toks.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
-    sig = sh.select("doc_id", F.expr(_SIG).alias("sig"))
+    sig = (
+        sh.select("doc_id", F.expr(_HS).alias("hs"))
+        .withColumn("hs_ab", F.expr(_AB_SPARK))
+        .select("doc_id", F.expr(_SIG).alias("sig"))
+    )
     return sig.select(
         "doc_id",
         F.explode(F.expr(f"sequence(0, {N_BANDS - 1})")).alias("b"),
@@ -75,11 +91,14 @@ _DUCK_BANDS = f"""
                   list_distinct(list_transform(range(1, len(toks)),
                       i -> toks[i] || ' ' || toks[i+1])) AS shingles
            FROM t WHERE len(toks) >= 2),
+    hsrc AS (SELECT doc_id,
+                    list_transform(shingles, s -> {h32_duck("s")}) AS hs
+             FROM sh),
     sig AS (SELECT doc_id,
-                   list_transform(range(0, {N_HASH}), k -> list_min(
-                       list_transform(shingles,
-                           s -> {h32_duck("s || ':' || CAST(k AS VARCHAR)")}))) AS sig
-            FROM sh),
+                   list_transform({_AB_DUCK}, ab -> list_min(
+                       list_transform(hs,
+                           h -> (ab[1] * h + ab[2]) % {_MERSENNE_P}))) AS sig
+            FROM hsrc),
     bands AS (SELECT doc_id, b,
                      CAST(sig[b*{ROWS_PER_BAND}+1] AS VARCHAR) || '_' ||
                      CAST(sig[b*{ROWS_PER_BAND}+2] AS VARCHAR) || '_' ||
