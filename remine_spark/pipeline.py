@@ -65,14 +65,20 @@ def _lineage(spark: SparkSession, workdir: str, stage: str, path: str,
     pq.write_table(table, os.path.join(ldir, f"{stage}-{int(now * 1000)}.parquet"))
 
 
-def _read_wide(spark: SparkSession, path: str) -> DataFrame:
+def _read_wide(spark: SparkSession, path: str, schema=None) -> DataFrame:
     """Re-read a stage checkpoint. Scan parallelism (and therefore the task
     count of every python stage downstream) is governed by
     spark.sql.files.maxPartitionBytes — the session factory sizes it so
     local checkpoints split across all cores; a real cluster's inputs are
     thousands of partitions regardless. No repartition here: a shuffle in
-    the re-read plan would be re-paid by every downstream pass."""
-    return spark.read.parquet(path)
+    the re-read plan would be re-paid by every downstream pass.
+
+    ``schema`` makes empty checkpoints readable (a degenerate stage writes
+    only _SUCCESS; schema inference would fail)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
 
 
 def checkpoint(spark: SparkSession, workdir: str, stage: str, df: DataFrame,
@@ -88,28 +94,36 @@ def checkpoint(spark: SparkSession, workdir: str, stage: str, df: DataFrame,
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(path)
         _lineage(spark, workdir, stage, path, time.time() - t0)
-    return _read_wide(spark, path)
+    return _read_wide(spark, path, schema=df.schema)
 
 
-def save_model(workdir: str, m: model_mod.SegModel) -> None:
+def save_model(workdir: str, m: model_mod.SegModel,
+               name: str = "segmodel.json", outer_done: int | None = None) -> None:
     blob = {
         "patterns": [[list(t), f, q, i] for (t, f, q, i) in m.patterns],
         "tree_total": m.tree_total,
         "deps_prob": m.deps_prob,
     }
-    with open(os.path.join(workdir, "segmodel.json"), "w") as fh:
+    if outer_done is not None:
+        blob["outer_done"] = outer_done
+    tmp = os.path.join(workdir, name + ".tmp")
+    with open(tmp, "w") as fh:
         json.dump(blob, fh)
+    os.replace(tmp, os.path.join(workdir, name))  # atomic, never torn
 
 
-def load_model(workdir: str) -> model_mod.SegModel | None:
-    path = os.path.join(workdir, "segmodel.json")
+def load_model(workdir: str, name: str = "segmodel.json"
+               ) -> model_mod.SegModel | None:
+    path = os.path.join(workdir, name)
     if not os.path.exists(path):
         return None
     with open(path) as fh:
         blob = json.load(fh)
     pats = [(tuple(t), int(f), float(q), i) for (t, f, q, i) in blob["patterns"]]
-    return model_mod.SegModel(pats, {k: int(v) for k, v in blob["tree_total"].items()},
-                              deps_prob=blob["deps_prob"])
+    m = model_mod.SegModel(pats, {k: int(v) for k, v in blob["tree_total"].items()},
+                           deps_prob=blob["deps_prob"])
+    m.outer_done = int(blob.get("outer_done", 0))
+    return m
 
 
 def run_pipeline(
@@ -153,12 +167,21 @@ def run_pipeline(
     # openCostInBytes (checkpoint files = 2×cores by construction).
     m = load_model(workdir) if resume else None
     if m is None:
-        tree_total = model_mod.subtree_census(sentences, max_len)
-        m = model_mod.model_from_patterns(patterns_df, tree_total)
-        for _ in range(outer_iters):
+        # mid-fit resume (north_star: the segment/fit stage resumes
+        # mid-run): each completed outer EM iteration checkpoints the
+        # model; a killed run restarts at the next outer iteration
+        start_iter = 0
+        partial = load_model(workdir, "segmodel_partial.json") if resume else None
+        if partial is not None:
+            m, start_iter = partial, partial.outer_done
+        else:
+            tree_total = model_mod.subtree_census(sentences, max_len)
+            m = model_mod.model_from_patterns(patterns_df, tree_total)
+        for it in range(start_iter, outer_iters):
             model_mod.adjust_constraints(spark, sentences, m,
                                          inner_iters=inner_iters)
             m = model_mod.rectify_frequency(spark, sentences, m)
+            save_model(workdir, m, "segmodel_partial.json", outer_done=it + 1)
         save_model(workdir, m)
 
     bc = spark.sparkContext.broadcast(m.payload())
@@ -171,7 +194,10 @@ def run_pipeline(
         spark, workdir, "tuples", tuples_mod.tuples_df(sentences, bc), resume)
 
     # 5. ReMine-Global (M12/M13) + ranked triples sink, subj-hash salted (S8)
-    te = transe.fit(spark, tuples, dim=transe_dim, epochs=transe_epochs)
+    te = transe.fit(
+        spark, tuples, dim=transe_dim, epochs=transe_epochs,
+        checkpoint_path=(os.path.join(workdir, "transe_model.json")
+                         if resume else None))
     ranked = transe.score_and_rank(spark, tuples, te)
     triples = ranked.select(
         "url", "doc_id", "sent_id", "subj", "pred", "obj", "score", "rank",

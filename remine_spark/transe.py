@@ -57,10 +57,47 @@ class TransEModel:
         self.E = self.E / norms
 
 
+def save_model(model: TransEModel, path: str, epoch: int) -> None:
+    """Epoch checkpoint: parameters + vocab + last completed epoch."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({
+            "epoch": epoch,
+            "dim": model.dim,
+            "ents": sorted(model.ent2id, key=model.ent2id.get),
+            "rels": sorted(model.rel2id, key=model.rel2id.get),
+            "E": model.E.tolist(),
+            "R": model.R.tolist(),
+        }, fh)
+    import os as _os
+    _os.replace(tmp, path)  # atomic: a killed run never leaves a torn file
+
+
+def load_model(path: str) -> tuple[TransEModel, int] | None:
+    import json
+    import os
+
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        blob = json.load(fh)
+    m = TransEModel({e: i for i, e in enumerate(blob["ents"])},
+                    {r: i for i, r in enumerate(blob["rels"])},
+                    dim=blob["dim"])
+    m.E = np.asarray(blob["E"])
+    m.R = np.asarray(blob["R"])
+    return m, int(blob["epoch"])
+
+
 def fit(
     spark: SparkSession, tuples: DataFrame,
     dim: int = 16, epochs: int = 20, lr: float = 0.05, margin: float = 1.0,
     sample_fraction: float = 1.0, seed: int = 42,
+    checkpoint_path: str | None = None, checkpoint_every: int = 5,
 ) -> TransEModel:
     """Mini-batch TransE training. Each epoch is ONE Arrow job over the
     cached edge table: a mapInPandas gradient kernel emits compacted
@@ -94,12 +131,23 @@ def fit(
         edf.unpersist()
         return model
 
+    # mid-run resume (north_star: the embed stage resumes mid-run): pick up
+    # from the last epoch checkpoint when vocab matches; epoch keys are
+    # derived from (edge hash, epoch), so the continuation is identical to
+    # an uninterrupted run
+    start_epoch = 0
+    if checkpoint_path is not None:
+        ck = load_model(checkpoint_path)
+        if ck is not None and ck[0].ent2id == model.ent2id \
+                and ck[0].rel2id == model.rel2id and ck[0].dim == dim:
+            model, start_epoch = ck[0], ck[1] + 1
+
     sc = spark.sparkContext
     n_ent = len(ents)
     e2i, r2i = model.ent2id, model.rel2id
     grad_schema = "kind string, idx long, g array<double>"
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         bc = sc.broadcast((model.E, model.R))
 
         def grads(batches):
@@ -157,6 +205,9 @@ def fit(
                 model.R[row.idx] -= lr * g
         bc.unpersist()
         model._normalize()
+        if checkpoint_path is not None and (
+                (epoch + 1) % checkpoint_every == 0 or epoch == epochs - 1):
+            save_model(model, checkpoint_path, epoch)
     edf.unpersist()
     return model
 
