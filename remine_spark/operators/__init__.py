@@ -5,6 +5,7 @@ in remine_spark.catalog.QUERIES."""
 
 from remine_spark.operators import (  # noqa: F401
     dedup,
+    graph,
     multimodal,
     relational,
     similarity,

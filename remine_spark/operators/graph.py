@@ -1,0 +1,168 @@
+"""Graph operators over a KG edge list: degree, triangle counting,
+connected components (iterative, oracle-checked against a DuckDB recursive
+CTE), and PageRank (iterative, rows-only).
+
+A KG-construction engine's output is consumed as a graph; these are the
+first-line analytics over it: canonicalization quality (components merge
+alias clusters), hub detection (degree/PageRank), and density (triangles).
+The test graph is the deterministic token-co-occurrence graph of the
+`documents` table (adjacent-token pairs above a frequency floor, undirected,
+endpoints ordered lexically), so every operator is reproducible on both
+engines.
+
+Scale notes:
+- degree/triangles are pure joins + aggs (shuffle on node id; AQE handles
+  hub skew — triangle enumeration pre-orders endpoints a<b<c so each
+  triangle is produced exactly once and the heaviest join side is bounded
+  by the orientation trick).
+- connected components is hash-min label propagation: per iteration one
+  join + one groupBy-min, looped in the driver until a fixpoint (counted
+  via one agg) — iterations ≈ graph diameter; at web scale this is the
+  standard large-star/small-star family, and each iteration's shuffle key
+  is the node id.
+- PageRank is the classic contribution-sum power iteration with fixed
+  iteration count (deterministic; no convergence race).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from remine_spark.catalog import query, table
+
+EDGE_MIN_FREQ = 60  # sf0.01-calibrated: yields a non-regular 30-node graph (deg 6-23)
+
+_DUCK_EDGES = f"""
+    t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+          FROM documents),
+    bi AS (SELECT least(toks[i], toks[i+1]) AS a,
+                  greatest(toks[i], toks[i+1]) AS b
+           FROM t, unnest(range(1, len(toks))) AS u(i)
+           WHERE toks[i] <> toks[i+1]),
+    edges AS (SELECT a, b, count(*) AS freq FROM bi GROUP BY a, b
+              HAVING count(*) >= {EDGE_MIN_FREQ})
+"""
+
+
+def edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic co-occurrence edge list (a < b, freq ≥ threshold)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.expr("filter(split(text,' '), x -> x != '')"))
+        .alias("i", "tok"))
+    nxt = toks.select("doc_id", (F.col("i") - 1).alias("i"),
+                      F.col("tok").alias("tok2"))
+    return (
+        toks.join(nxt, ["doc_id", "i"])
+        .filter(F.col("tok") != F.col("tok2"))
+        .select(F.least("tok", "tok2").alias("a"),
+                F.greatest("tok", "tok2").alias("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= EDGE_MIN_FREQ)
+    )
+
+
+@query("kg_degree", f"""
+    WITH {_DUCK_EDGES},
+    und AS (SELECT a AS node, b AS nb FROM edges
+            UNION ALL SELECT b, a FROM edges)
+    SELECT node, count(*) AS degree FROM und GROUP BY node
+""")
+def kg_degree(spark, sf_dir):
+    """Node degree over the undirected edge list."""
+    e = edges_df(spark, sf_dir)
+    und = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node")))
+    return und.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+
+
+@query("kg_triangles", f"""
+    WITH {_DUCK_EDGES}
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM edges) AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e1.b = e2.a
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+""")
+def kg_triangles(spark, sf_dir):
+    """Triangle count via the oriented 3-way self-join (a<b<c once each)."""
+    e = edges_df(spark, sf_dir).cache()
+    n_edges = e.count()
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    return spark.createDataFrame(
+        [(tri, n_edges)], "n_triangles long, n_edges long")
+
+
+@query("kg_connected_components", f"""
+    WITH RECURSIVE {_DUCK_EDGES},
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(node, lbl) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+    )
+    SELECT node, min(lbl) AS comp FROM reach GROUP BY node
+""")
+def kg_connected_components(spark, sf_dir):
+    """Connected components by hash-min label propagation (iterative
+    DataFrame loop, fixpoint detected with one agg per round); the oracle
+    computes the same min-reachable-label via a recursive CTE."""
+    e = edges_df(spark, sf_dir)
+    und = (e.select("a", "b").unionAll(e.select(F.col("b"), F.col("a")))
+           .distinct().cache())
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")).cache()
+    while True:
+        nb_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("lbl").alias("nb_lbl"))
+        )
+        new_labels = (
+            labels.join(nb_min, "node", "left")
+            .select("node", F.least("lbl", F.coalesce("nb_lbl", "lbl"))
+                    .alias("lbl"))
+            .cache()
+        )
+        changed = (
+            labels.withColumnRenamed("lbl", "old").join(new_labels, "node")
+            .filter("old != lbl").count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("node", F.col("lbl").alias("comp"))
+
+
+@query("kg_pagerank", None)  # rows-only: iterative, not SQL-expressible
+def kg_pagerank(spark, sf_dir, iters: int = 10, damping: float = 0.85):
+    """PageRank power iteration (fixed iteration count → deterministic).
+    Rows-only driver check; invariants (sum≈n_nodes, positivity, hub
+    ordering vs degree) are tested."""
+    e = edges_df(spark, sf_dir)
+    und = e.select("a", "b").unionAll(e.select(F.col("b"), F.col("a")))
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")).cache()
+    ranks = deg.select("node", F.lit(1.0).alias("rank"))
+    out_edges = und.join(deg, und.a == deg.node).select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "deg").cache()
+    for _ in range(iters):
+        contribs = (
+            out_edges.join(ranks, out_edges.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = deg.select("node").join(contribs, "node", "left").select(
+            "node",
+            ((1 - damping) + damping * F.coalesce("c", F.lit(0.0)))
+            .alias("rank"))
+    out_edges.unpersist()
+    deg.unpersist()
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -1,0 +1,31 @@
+"""Graph operators over the co-occurrence KG: degree/triangles/CC against
+the DuckDB oracle (see test_queries_oracle for the hash compare); here:
+structural invariants + PageRank properties."""
+
+from remine_spark.operators import graph
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_components_partition_nodes(spark):
+    comp = {r.node: r.comp for r in
+            graph.kg_connected_components(spark, SF).collect()}
+    edges = graph.edges_df(spark, SF).collect()
+    assert comp
+    # every edge endpoint pair shares a component; comp label is a member
+    for e in edges:
+        assert comp[e.a] == comp[e.b]
+    assert set(comp.values()) <= set(comp.keys())
+
+
+def test_pagerank_invariants(spark):
+    import math
+    pr = {r.node: r.rank for r in graph.kg_pagerank(spark, SF).collect()}
+    deg = {r.node: r.degree for r in graph.kg_degree(spark, SF).collect()}
+    assert pr.keys() == deg.keys()
+    assert all(r > 0 for r in pr.values())
+    assert math.isclose(sum(pr.values()), len(pr), rel_tol=0.02)
+    # the max-degree hub must rank in the top decile
+    hub = max(deg, key=deg.get)
+    ranked = sorted(pr, key=pr.get, reverse=True)
+    assert ranked.index(hub) < max(1, len(ranked) // 10)
