@@ -92,12 +92,18 @@ def _remine_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sent_id", "url")
 
 
+def _remine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _run_flagship(spark, sf_dir)
+    return out["kg_embeddings"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: spec["spark"] for name, spec in _CATALOG.items()}
     out["remine_triples"] = _remine_triples
     out["remine_mentions"] = _remine_mentions
     out["remine_entities"] = _remine_entities
     out["remine_edges"] = _remine_edges
+    out["remine_embeddings"] = _remine_embeddings
     return out
 
 

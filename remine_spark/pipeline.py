@@ -75,10 +75,17 @@ def _read_wide(spark: SparkSession, path: str, schema=None) -> DataFrame:
 
     ``schema`` makes empty checkpoints readable (a degenerate stage writes
     only _SUCCESS; schema inference would fail)."""
-    reader = spark.read
+    reader = spark.read.format(TABLE_FORMAT)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(path)
+    return reader.load(path)
+
+
+# Stage-table format seam: parquet here; set SPARK_GRAFT_TABLE_FORMAT=iceberg
+# (with the iceberg-spark runtime jar + a catalog on the cluster) and every
+# checkpoint becomes an Iceberg table append/replace with the same layout,
+# bucketing and lineage logic — nothing else in the pipeline changes.
+TABLE_FORMAT = os.environ.get("SPARK_GRAFT_TABLE_FORMAT", "parquet")
 
 
 def checkpoint(spark: SparkSession, workdir: str, stage: str, df: DataFrame,
@@ -89,10 +96,10 @@ def checkpoint(spark: SparkSession, workdir: str, stage: str, df: DataFrame,
     path = os.path.join(workdir, stage)
     if not (resume and _exists(path)):
         t0 = time.time()
-        writer = df.write.mode("overwrite")
+        writer = df.write.mode("overwrite").format(TABLE_FORMAT)
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
-        writer.parquet(path)
+        writer.save(path)
         _lineage(spark, workdir, stage, path, time.time() - t0)
     return _read_wide(spark, path, schema=df.schema)
 
@@ -198,6 +205,9 @@ def run_pipeline(
         spark, tuples, dim=transe_dim, epochs=transe_epochs,
         checkpoint_path=(os.path.join(workdir, "transe_model.json")
                          if resume else None))
+    kg_embeddings = checkpoint(
+        spark, workdir, "kg_embeddings", transe.embeddings_df(spark, te),
+        resume)
     ranked = transe.score_and_rank(spark, tuples, te)
     triples = ranked.select(
         "url", "doc_id", "sent_id", "subj", "pred", "obj", "score", "rank",
@@ -253,4 +263,5 @@ def run_pipeline(
         "sentences": sentences, "patterns": patterns_df,
         "mentions": mentions, "tuples": tuples, "triples": triples,
         "entities": entities, "edges": edges,
+        "kg_embeddings": kg_embeddings,
     }
