@@ -70,6 +70,73 @@ def mine_patterns(
     )
 
 
+def boost_patterns(sentences: DataFrame, max_len: int = MAX_LEN) -> DataFrame:
+    """M14 candidates: NP/DATE chunk spans (preprocessing.py:32-71 grammar,
+    re-expressed in nlp.boost_chunk_spans) mined from the sentences table in
+    one Arrow mapInPandas pass. Output: (ngram, pos_key, boost_freq) — the
+    observed chunk frequency, later floored to MIN_SUP on union.
+
+    Surface filter mirrors preprocessing.py:64 ('www'/'.com' excluded);
+    span length capped at the loadExternalPatterns LENGTH_THRESHOLD
+    (frequent_pattern_mining.h:244,251)."""
+    import pandas as pd
+
+    from .nlp import boost_chunk_spans
+
+    def gen(batches):
+        for pdf in batches:
+            ngrams, keys = [], []
+            for toks, tags in zip(pdf["tokens"], pdf["pos"]):
+                toks, tags = list(toks), list(tags)
+                for (a, b) in boost_chunk_spans(tags):
+                    if b - a > max_len:
+                        continue
+                    surf = " ".join(toks[a:b])
+                    if "www" in surf or ".com" in surf:
+                        continue
+                    ngrams.append(toks[a:b])
+                    keys.append(" ".join(tags[a:b]))
+            # explicit object dtype: an empty batch otherwise yields
+            # float64 columns that Arrow cannot cast to list<string>
+            yield pd.DataFrame({
+                "ngram": pd.Series(ngrams, dtype="object"),
+                "pos_key": pd.Series(keys, dtype="object"),
+            })
+
+    return (
+        sentences.select("tokens", "pos")
+        .mapInPandas(gen, schema="ngram array<string>, pos_key string")
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("boost_freq"),
+             F.min("pos_key").alias("pos_key"))
+    )
+
+
+def mine_patterns_boosted(
+    sentences: DataFrame, min_sup: int = MIN_SUP, max_len: int = MAX_LEN
+) -> DataFrame:
+    """M14 (frequent_pattern_mining.h:236-258 loadExternalPatterns): union
+    chunk-boost patterns into the mined table. A boost pattern already
+    mined keeps its true frequency; a new one (i.e. below min_sup) enters
+    with freq = min_sup exactly as the reference floors currentFreq to
+    MIN_SUP — this is what lets legitimate tail NP entities become
+    mentions. The anti-join's build side is the boost table (small);
+    Catalyst broadcasts it."""
+    mined = mine_patterns(sentences, min_sup, max_len)
+    extra = (
+        boost_patterns(sentences, max_len)
+        .join(mined.select("ngram"), "ngram", "left_anti")
+        .select(
+            "ngram",
+            F.lit(min_sup).cast("long").alias("freq"),
+            "pos_key",
+            F.size("ngram").alias("n"),
+            F.array_join("ngram", " ").alias("ngram_key"),
+        )
+    )
+    return mined.unionByName(extra)
+
+
 def unigram_counts(sentences: DataFrame) -> DataFrame:
     """A1 (frequent_pattern_mining.h:303-319): token → corpus count."""
     return (

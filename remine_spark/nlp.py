@@ -159,6 +159,94 @@ def _noun_chunks(tags: list[str]) -> list[tuple[int, int]]:
     return chunks
 
 
+def boost_chunk_spans(tags: list[str]) -> list[tuple[int, int]]:
+    """M14 chunk grammar (preprocessing.py:34-42, chunk_train): the
+    reference's nltk.RegexpParser rules applied in declaration order over
+    unconsumed tokens, leftmost-longest, no overlaps:
+
+        DATE: {<NNP><CD>}
+        NP:   {<DT|PP$>?<JJ>*<NN|NNS>+}
+              {<NNP>+<IN><NNP>+}
+              {<NNP>+}
+
+    Returns [start, end) spans with len > 1 only (preprocessing.py:62
+    keeps multi-token branches); callers apply the www/.com surface filter
+    and the ≤6-token cap (frequent_pattern_mining.h:251 LENGTH_THRESHOLD).
+    """
+    n = len(tags)
+    used = [False] * n
+    spans: list[tuple[int, int]] = []
+
+    def claim(a: int, b: int) -> None:
+        for k in range(a, b):
+            used[k] = True
+        if b - a > 1:
+            spans.append((a, b))
+
+    # DATE: NNP CD
+    i = 0
+    while i + 1 < n:
+        if (not used[i] and not used[i + 1]
+                and tags[i] == "NNP" and tags[i + 1] == "CD"):
+            claim(i, i + 2)
+            i += 2
+        else:
+            i += 1
+
+    # NP rule 1: (DT|PRP$)? JJ* (NN|NNS)+
+    i = 0
+    while i < n:
+        if used[i]:
+            i += 1
+            continue
+        p = i
+        if tags[p] in ("DT", "PRP$"):
+            p += 1
+        while p < n and not used[p] and tags[p] == "JJ":
+            p += 1
+        q = p
+        while q < n and not used[q] and tags[q] in ("NN", "NNS"):
+            q += 1
+        if q > p:
+            claim(i, q)
+            i = q
+        else:
+            i += 1
+
+    def _nnp_run(start: int) -> int:
+        j = start
+        while j < n and not used[j] and tags[j] == "NNP":
+            j += 1
+        return j
+
+    # NP rule 2: NNP+ IN NNP+
+    i = 0
+    while i < n:
+        if used[i] or tags[i] != "NNP":
+            i += 1
+            continue
+        b1 = _nnp_run(i)
+        if b1 < n and not used[b1] and tags[b1] == "IN":
+            b2 = _nnp_run(b1 + 1)
+            if b2 > b1 + 1:
+                claim(i, b2)
+                i = b2
+                continue
+        i = b1 if b1 > i else i + 1
+
+    # NP rule 3: NNP+
+    i = 0
+    while i < n:
+        if used[i] or tags[i] != "NNP":
+            i += 1
+            continue
+        b = _nnp_run(i)
+        claim(i, b)
+        i = b
+
+    return sorted(spans)
+
+
 def parse(tokens: list[str], tags: list[str]) -> tuple[list[int], list[str]]:
     """Rule-based dependency parse → (head, type) per token.
 

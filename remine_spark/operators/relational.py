@@ -46,10 +46,10 @@ def s1_zip_scan(spark, sf_dir):
     tok AS (SELECT doc_id, toks[i] AS tok, i
             FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
     marked AS (SELECT doc_id, tok, i,
-                      coalesce(sum(CASE WHEN tok = 'the' THEN 1 ELSE 0 END)
+                      CAST(coalesce(sum(CASE WHEN tok = 'the' THEN 1 ELSE 0 END)
                           OVER (PARTITION BY doc_id ORDER BY i
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                          0) AS sent_id
+                          0) AS BIGINT) AS sent_id
                FROM tok)
     SELECT doc_id, sent_id, count(*) AS n_tokens
     FROM marked GROUP BY doc_id, sent_id
@@ -70,7 +70,7 @@ def p1_sentence_split(spark, sf_dir):
     marked = tok.withColumn(
         "sent_id",
         F.coalesce(F.sum(F.when(F.col("tok") == "the", 1).otherwise(0)).over(w),
-                   F.lit(0)))
+                   F.lit(0)).cast("bigint"))
     return marked.groupBy("doc_id", "sent_id").agg(
         F.count(F.lit(1)).alias("n_tokens"))
 

@@ -153,8 +153,8 @@ def run_pipeline(
     sentences = checkpoint(
         spark, workdir, "sentences", sentences_from_pages(pages), resume)
 
-    # 2. patterns (A1/A2 + M3/M5 quality)
-    raw_patterns = mining.mine_patterns(sentences, min_sup, max_len)
+    # 2. patterns (A1/A2 + M14 chunk boost + M3/M5 quality)
+    raw_patterns = mining.mine_patterns_boosted(sentences, min_sup, max_len)
     if quality_pools is not None:
         from remine_spark import classifier
 

@@ -10,9 +10,11 @@ translating objective s + p ≈ o:
 - margin ranking loss, L1 distance, head/tail corruption negatives
 - mini-batch SGD where each epoch is one deterministic sample of the edge
   table; an Arrow mapInPandas kernel emits compacted per-batch gradient
-  partials, the driver (or, at cluster scale, a groupBy pre-sum — the
-  log-fan-in equivalent of treeAggregate) merges them, applies the update,
-  and re-broadcasts.
+  partials which a JVM-side `groupBy(kind, idx)` elementwise pre-sum
+  (zip_with fold — the log-fan-in equivalent of treeAggregate) reduces to
+  ONE row per touched parameter before the driver applies the update and
+  re-broadcasts. The driver therefore receives O(touched params), never
+  O(batches × params) — the reduction happens in the shuffle.
 
 Determinism: negatives and batch sampling are seeded from (edge id, epoch)
 hashes, so retries/stragglers can't change the result (UDF retry safety at
@@ -93,6 +95,22 @@ def load_model(path: str) -> tuple[TransEModel, int] | None:
     return m, int(blob["epoch"])
 
 
+def presum_grads(partials: DataFrame, dim: int) -> DataFrame:
+    """treeAggregate-equivalent reduction of mergeable gradient partials:
+    groupBy the parameter key and fold the grad arrays elementwise with
+    zip_with — partial aggregation runs map-side, the exchange carries at
+    most one row per (kind, idx) per map task, and the driver's collect is
+    bounded by the number of touched parameters (never by batch count)."""
+    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+    return (
+        partials.groupBy("kind", "idx")
+        .agg(F.aggregate(
+            F.collect_list("g"), zero,
+            lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+        ).alias("g"))
+    )
+
+
 def fit(
     spark: SparkSession, tuples: DataFrame,
     dim: int = 16, epochs: int = 20, lr: float = 0.05, margin: float = 1.0,
@@ -101,13 +119,17 @@ def fit(
 ) -> TransEModel:
     """Mini-batch TransE training. Each epoch is ONE Arrow job over the
     cached edge table: a mapInPandas gradient kernel emits compacted
-    per-batch gradient rows (kind, idx, grad[dim]) which the driver merges
-    and applies. Gradients ride the same Arrow python-worker pool as every
-    other stage (no separate RDD-API pickle workers — those cold-start a
-    second pool and dominated wall time at high core counts). At cluster
-    scale, insert a `groupBy(kind, idx)` elementwise pre-sum before the
-    collect (log-fan-in equivalent of treeAggregate) — the kernel already
-    emits mergeable partials, so only the reduction site changes."""
+    per-batch gradient rows (kind, idx, grad[dim]); a JVM-side
+    `groupBy(kind, idx)` elementwise array pre-sum (partial agg map-side,
+    exchange on the parameter key — the treeAggregate reduction shape)
+    collapses them to one row per touched parameter before collect. The
+    driver receives O(touched params) rows regardless of cluster size and
+    applies one update per parameter. Gradients ride the same Arrow
+    python-worker pool as every other stage (no separate RDD-API pickle
+    workers — those cold-start a second pool and dominated wall time at
+    high core counts). Remaining web-scale step (documented, not needed at
+    this entity count): hash-shard E across executors parameter-server
+    style; the mergeable partials and seeded sampling carry over."""
     from pyspark import StorageLevel
 
     edges = edges_from_tuples(tuples)
@@ -197,7 +219,11 @@ def fit(
                     "g": [list(v) for v in accE] + [list(v) for v in accR],
                 })
 
-        for row in edf.mapInPandas(grads, schema=grad_schema).collect():
+        # JVM-side elementwise pre-sum: one shuffled row per touched
+        # parameter reaches the driver (never one per batch partial)
+        presummed = presum_grads(
+            edf.mapInPandas(grads, schema=grad_schema), dim)
+        for row in presummed.collect():
             g = np.asarray(row.g)
             if row.kind == "e":
                 model.E[row.idx] -= lr * g

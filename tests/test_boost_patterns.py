@@ -1,0 +1,63 @@
+"""M14 NP/DATE chunk-boost patterns (preprocessing.py:32-71 →
+frequent_pattern_mining.h:236-258 loadExternalPatterns): sub-MIN_SUP noun
+chunks enter the pattern table floored to MIN_SUP and can become mentions."""
+
+from pyspark.sql import functions as F
+
+from remine_spark import mining, nlp, pipeline, synth
+
+
+def test_boost_chunk_spans_grammar():
+    # DATE: NNP CD
+    assert nlp.boost_chunk_spans(["NNP", "CD"]) == [(0, 2)]
+    # NP rule 1: DT JJ* NN+ (single-noun-with-DT chunks too)
+    assert nlp.boost_chunk_spans(["DT", "JJ", "NN", "NNS"]) == [(0, 4)]
+    # NP rule 2: NNP+ IN NNP+
+    assert nlp.boost_chunk_spans(["NNP", "NNP", "IN", "NNP"]) == [(0, 4)]
+    # NP rule 3: NNP+ (multi-token only emitted)
+    assert nlp.boost_chunk_spans(["NNP", "NNP", "VBD", "NNP"]) == [(0, 2)]
+    # rules consume tokens in order: DATE wins over the NNP+ run
+    assert nlp.boost_chunk_spans(["NNP", "CD", "NNP", "NNP"]) == \
+        [(0, 2), (2, 4)]
+    # nothing chunkable
+    assert nlp.boost_chunk_spans(["VBD", "IN", "DT"]) == []
+
+
+def test_sub_minsup_chunk_floored_to_minsup(spark):
+    # "stark wayne" occurs 3 times — far below min_sup=10 — but is an
+    # NNP+ chunk, so it must enter the table with freq == min_sup
+    rows = []
+    for i in range(3):
+        rows.append((i, 0, ["stark", "wayne", "visited", "gotham", "."],
+                     ["NNP", "NNP", "VBD", "NNP", "."]))
+    # high-frequency filler so mined patterns exist
+    for i in range(3, 18):
+        rows.append((i, 0, ["acme", "acquired", "globex", "."],
+                     ["NNP", "VBD", "NNP", "."]))
+    sents = spark.createDataFrame(
+        rows, "doc_id long, sent_id int, tokens array<string>, "
+              "pos array<string>")
+    pats = mining.mine_patterns_boosted(sents, min_sup=10, max_len=6)
+    got = {tuple(r.ngram): r.freq for r in pats.collect()}
+    assert got.get(("stark", "wayne")) == 10          # floored boost
+    assert got.get(("acme",)) == 15                   # true freq kept
+    # an already-mined chunk keeps its true frequency (no floor-down)
+    assert all(f >= 10 for f in got.values())
+
+
+def test_boost_pattern_becomes_mention_end_to_end(spark, tmp_path):
+    """The recall story: a tail two-token NNP entity below MIN_SUP becomes
+    a mention only through the boost path."""
+    docs = synth.generate_docs(150, seed=42)
+    # count a known two-NNP surface that the grammar emits rarely
+    pages = synth.pages_df(spark, 150, seed=42, num_partitions=4)
+    out = pipeline.run_pipeline(spark, pages, str(tmp_path / "wd"),
+                                inner_iters=2, transe_epochs=2, resume=False)
+    pats = out["patterns"]
+    # boost-only patterns exist: multi-word noun chunks with freq == MIN_SUP
+    boosted = pats.filter((F.col("n") > 1) & (F.col("freq") == mining.MIN_SUP))
+    assert boosted.count() > 0
+    # and at least one of them surfaces as a mention
+    surfaces = {r.ngram_key for r in boosted.collect()}
+    mention_texts = {r.text for r in out["mentions"].collect()}
+    assert surfaces & mention_texts, "no boost pattern became a mention"

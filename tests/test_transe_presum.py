@@ -1,0 +1,44 @@
+"""Distributed TransE gradient reduction (VERDICT r1 item 2): the
+JVM-side groupBy(kind, idx) elementwise pre-sum must merge mergeable
+partials exactly like a numpy sum, and training through the distributed
+reduction must stay deterministic run-to-run."""
+
+import numpy as np
+
+from remine_spark import pipeline, synth, transe
+
+N_DOCS = 120
+
+
+def test_presum_matches_numpy_merge(spark):
+    dim = 4
+    rows = [
+        ("e", 0, [1.0, 2.0, 0.0, -1.0]),
+        ("e", 0, [0.5, -2.0, 3.0, 1.0]),
+        ("e", 7, [1.0, 1.0, 1.0, 1.0]),
+        ("r", 0, [9.0, 0.0, 0.0, 0.0]),
+        ("e", 0, [0.25, 0.25, 0.25, 0.25]),
+        ("r", 0, [-1.0, 1.0, -1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="kind string, idx long, g array<double>"
+    ).repartition(3)  # force partials to land on different map tasks
+    got = {(r.kind, r.idx): np.asarray(r.g)
+           for r in transe.presum_grads(df, dim).collect()}
+    want = {}
+    for k, i, g in rows:
+        want[(k, i)] = want.get((k, i), np.zeros(dim)) + np.asarray(g)
+    assert set(got) == set(want)
+    for key in want:
+        assert np.allclose(got[key], want[key])
+
+
+def test_fit_deterministic_through_distributed_reduction(spark, tmp_path):
+    pages = synth.pages_df(spark, N_DOCS, seed=42, num_partitions=4)
+    out = pipeline.run_pipeline(spark, pages, str(tmp_path / "wd"),
+                                inner_iters=2, transe_epochs=2, resume=False)
+    tuples = out["tuples"]
+    a = transe.fit(spark, tuples, dim=8, epochs=4)
+    b = transe.fit(spark, tuples, dim=8, epochs=4)
+    assert a.ent2id == b.ent2id and a.rel2id == b.rel2id
+    assert np.array_equal(a.E, b.E) and np.array_equal(a.R, b.R)
