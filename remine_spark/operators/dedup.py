@@ -25,7 +25,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F, types as T
 
 from remine_spark.catalog import h32_duck, h32_spark, query, table
 
@@ -50,15 +52,30 @@ _MERSENNE_P = (1 << 31) - 1
 _UH_A = [2 * k + 1 for k in range(1, N_HASH + 1)]          # odd multipliers
 _UH_B = [(k * k * 7919 + 104729) % _MERSENNE_P for k in range(N_HASH)]
 _HS = f"transform(shingles, s -> {h32_spark('s')})"
-_SIG = (
-    "transform(hs_ab, ab -> array_min(transform(hs, "
-    f"h -> pmod(element_at(ab, 1) * h + element_at(ab, 2), {_MERSENNE_P}))))"
-)
-_AB_SPARK = "array(" + ",".join(
-    f"array({a}L,{b}L)" for a, b in zip(_UH_A, _UH_B)) + ")"
 _AB_DUCK = "[" + ",".join(
     f"[CAST({a} AS BIGINT), CAST({b} AS BIGINT)]"
     for a, b in zip(_UH_A, _UH_B)) + "]"
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _minhash_sig(hs: pd.Series) -> pd.Series:
+    """K minhashes from the shingle-hash array, fully vectorized: one
+    (K × total_shingles) numpy modular-affine matrix per Arrow batch and a
+    segmented min (np.minimum.reduceat) — replaces K interpreted
+    higher-order-function passes per document. Integer-exact (products
+    < 2^38 « int64), so results are bit-identical to the HOF formulation
+    and to the DuckDB oracle."""
+    A = np.asarray(_UH_A, dtype=np.int64)[:, None]
+    B = np.asarray(_UH_B, dtype=np.int64)[:, None]
+    arrs = [np.asarray(a, dtype=np.int64) for a in hs]
+    if not arrs:
+        return pd.Series([], dtype="object")
+    lens = np.array([a.size for a in arrs])
+    flat = np.concatenate(arrs)
+    m = (A * flat[None, :] + B) % _MERSENNE_P          # (K, total)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    mins = np.minimum.reduceat(m, offsets, axis=1)      # (K, n_docs)
+    return pd.Series(list(mins.T.tolist()))
 
 
 def _bands_df(spark, sf_dir):
@@ -66,10 +83,12 @@ def _bands_df(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.expr(_TOKS).alias("toks")).filter("size(toks) >= 2")
     sh = toks.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    # md5-per-shingle stays a JVM codegen expression; the K-hash signature
+    # moves to the Arrow-vectorized kernel (bench: the HOF version was the
+    # slowest catalog query at sf0.1)
     sig = (
         sh.select("doc_id", F.expr(_HS).alias("hs"))
-        .withColumn("hs_ab", F.expr(_AB_SPARK))
-        .select("doc_id", F.expr(_SIG).alias("sig"))
+        .select("doc_id", _minhash_sig(F.col("hs")).alias("sig"))
     )
     return sig.select(
         "doc_id",

@@ -140,11 +140,29 @@ def kg_connected_components(spark, sf_dir):
     return labels.select("node", F.col("lbl").alias("comp"))
 
 
-@query("kg_pagerank", None)  # rows-only: iterative, not SQL-expressible
+@query("kg_pagerank", f"""
+    WITH RECURSIVE {_DUCK_EDGES},
+    und AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+    deg AS (SELECT a AS node, count(*) AS deg FROM und GROUP BY a),
+    pr AS (
+        SELECT 0 AS iter, node, CAST(1.0 AS DOUBLE) AS rank FROM deg
+        UNION ALL
+        SELECT p.iter + 1, u.b AS node,
+               0.15 + 0.85 * sum(p.rank / d.deg) AS rank
+        FROM pr p
+        JOIN deg d ON d.node = p.node
+        JOIN und u ON u.a = p.node
+        WHERE p.iter < 10
+        GROUP BY p.iter + 1, u.b
+    )
+    SELECT node, round(rank, 6) AS rank FROM pr WHERE iter = 10
+""")
 def kg_pagerank(spark, sf_dir, iters: int = 10, damping: float = 0.85):
     """PageRank power iteration (fixed iteration count → deterministic).
-    Rows-only driver check; invariants (sum≈n_nodes, positivity, hub
-    ordering vs degree) are tested."""
+    Oracle: the same damped contribution sum as an iteration-indexed
+    recursive CTE (every node has degree ≥ 1 by construction, so no
+    dangling-mass term and no node drops out of the recursion). Invariants
+    (sum≈n_nodes, positivity, hub ordering vs degree) are also pytested."""
     e = edges_df(spark, sf_dir)
     und = e.select("a", "b").unionAll(e.select(F.col("b"), F.col("a")))
     deg = und.groupBy(F.col("a").alias("node")).agg(

@@ -16,6 +16,31 @@ from remine_spark.catalog import query, table
 _STOPS = "('the','a','of','in','and','is','to')"
 
 
+def _ordinal(df, key: str, n_parts: int = 8):
+    """Global 1-based ordinal by `key` WITHOUT a single-partition sort —
+    the zipWithIndex pattern in pure DataFrame ops: range-partition on the
+    key (partitions are globally ordered), rank locally per partition
+    (Window.partitionBy(pid) — parallel, no global exchange), then add the
+    per-partition cumulative offsets (one tiny bounded-by-#partitions
+    aggregate, broadcast back). Scales to any row count."""
+    d = (df.repartitionByRange(n_parts, F.col(key))
+         .withColumn("_pid", F.spark_partition_id()))
+    w = Window.partitionBy("_pid").orderBy(key)
+    d = d.withColumn("_local_rn", F.row_number().over(w))
+    counts = sorted((r["_pid"], r["cnt"]) for r in
+                    d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect())
+    offset, offsets = 0, {}
+    for pid, cnt in counts:
+        offsets[pid] = offset
+        offset += cnt
+    off_df = d.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "_pid int, _off long")
+    return (d.join(F.broadcast(off_df), "_pid")
+            .withColumn("rn", (F.col("_local_rn") + F.col("_off")))
+            .drop("_pid", "_local_rn", "_off"))
+
+
 @query("s1_zip_scan", """
     WITH dd AS (SELECT doc_id, n_chars,
                        row_number() OVER (ORDER BY doc_id) AS rn FROM documents),
@@ -26,16 +51,14 @@ _STOPS = "('the','a','of','in','and','is','to')"
 """)
 def s1_zip_scan(spark, sf_dir):
     """S1 (preprocessing.py:81-116; documents.h:149-316): the reference zips
-    three parallel positional files line-by-line. Relational form: row_number
-    zip-join of two sorted scans. (At scale: zipWithIndex per partition or a
-    shared monotonic key written at ingest — a global-order window is a
-    single-partition sort, noted as the known small-side-only variant.)"""
+    three parallel positional files line-by-line. Relational form: ordinal
+    zip-join of two sorted scans. The ordinal comes from the per-partition
+    zipWithIndex pattern (_ordinal) — range partition + local rank + offset
+    add — never a global-order window's single-partition sort."""
     d = table(spark, sf_dir, "documents")
     e = table(spark, sf_dir, "embeddings")
-    dd = d.select("doc_id", "n_chars").withColumn(
-        "rn", F.row_number().over(Window.orderBy("doc_id")))
-    ee = e.select("vec_id", "label").withColumn(
-        "rn", F.row_number().over(Window.orderBy("vec_id")))
+    dd = _ordinal(d.select("doc_id", "n_chars"), "doc_id")
+    ee = _ordinal(e.select("vec_id", "label"), "vec_id")
     return dd.join(ee, "rn").select("doc_id", "vec_id", "n_chars", "label")
 
 
@@ -253,17 +276,26 @@ def q3_order_revenue(spark, sf_dir):
 def a5_range_window_join(spark, sf_dir):
     """A5 (feature_extraction.h:299-344): the reference's ±2-sentence
     outside-context window as a range self-join — equi-key (user_id) plus a
-    band predicate on event time. At scale: bucket ts into 600s bins and
-    equi-join on (user_id, bin±1) so the band never degenerates into a
-    per-key cross product; AQE skew-split covers hot users."""
+    band predicate on event time. Implemented as the scalable time-bin
+    equi-join: ts bucketed into 600s bins, the probe side registered at
+    bin−1/bin/bin+1, the join strictly on (user_id, bin) — any pair within
+    the 600s band differs by at most one bin, so each qualifying pair
+    matches exactly one slot (no dedup needed) and the band filter is a
+    post-predicate, never a per-key cross product. AQE skew-split covers
+    hot users."""
     from pyspark.sql import functions as F
     e = table(spark, sf_dir, "events")
-    a = e.select("user_id", F.col("event_id").alias("ida"),
-                 F.unix_timestamp("ts").alias("tsa"), "event_type")
-    b = e.select("user_id", F.col("event_id").alias("idb"),
-                 F.unix_timestamp("ts").alias("tsb"))
+    a = (e.select("user_id", F.col("event_id").alias("ida"),
+                  F.unix_timestamp("ts").alias("tsa"), "event_type")
+         .withColumn("bin", F.floor(F.col("tsa") / 600)))
+    b = (e.select("user_id", F.col("event_id").alias("idb"),
+                  F.unix_timestamp("ts").alias("tsb"))
+         .withColumn("b_bin", F.floor(F.col("tsb") / 600))
+         .withColumn("bin", F.explode(F.array(
+             F.col("b_bin") - 1, F.col("b_bin"), F.col("b_bin") + 1)))
+         .drop("b_bin"))
     return (
-        a.join(b, "user_id")
+        a.join(b, ["user_id", "bin"])
         .filter((F.col("ida") != F.col("idb"))
                 & (F.abs(F.col("tsa") - F.col("tsb")) <= 600))
         .groupBy("event_type")

@@ -5,7 +5,8 @@ Three operators:
 - ann_cosine_topk   — brute-force cosine top-k (the correctness baseline);
 - ann_lsh_topk      — random-hyperplane LSH buckets, top-k within bucket
                       (the scale path: turns O(N·Q) into O(N·Q/2^planes));
-- embedding_near_dup — all pairs with cosine ≥ τ (embedding near-dup dedup).
+- embedding_near_dup — LSH-band-gated pairs with cosine ≥ τ (two-phase
+                      candidates→verify; never an all-pairs product).
 
 Determinism/portability: hyperplane weights are ±1 derived from md5 parity
 (same literal arrays inlined into the Spark plan and the DuckDB oracle), and
@@ -165,25 +166,58 @@ def ann_lsh_topk(spark, sf_dir):
         F.col("rnk") <= TOPK_LSH)
 
 
+N_BANDS = 2
+BAND_BITS = N_PLANES // N_BANDS  # 2 bands × 4 sign bits
+
+
 @query("embedding_near_dup", f"""
-    WITH v AS (SELECT vec_id, {_V_DUCK} AS v FROM embeddings)
-    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+    WITH {_DUCK_BUCKETS},
+    bands AS (SELECT vec_id, 0 AS band_id, bucket // 16 AS bv FROM bk
+              UNION ALL
+              SELECT vec_id, 1 AS band_id, bucket % 16 AS bv FROM bk),
+    cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+             FROM bands a JOIN bands b
+               ON a.band_id = b.band_id AND a.bv = b.bv
+              AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
            round(list_reduce(list_transform(range(1, {DIM + 1}),
-                 i -> a.v[i] * c.v[i]), (acc, x2) -> acc + x2), 6) AS cos
-    FROM v a JOIN v c ON a.vec_id < c.vec_id
+                 i -> va.v[i] * vb.v[i]), (acc, x2) -> acc + x2), 6) AS cos
+    FROM cand
+    JOIN v va ON va.vec_id = vec_a
+    JOIN v vb ON vb.vec_id = vec_b
     WHERE round(list_reduce(list_transform(range(1, {DIM + 1}),
-          i -> a.v[i] * c.v[i]), (acc, x2) -> acc + x2), 6) >= {NEAR_DUP_TAU}
+          i -> va.v[i] * vb.v[i]), (acc, x2) -> acc + x2), 6) >= {NEAR_DUP_TAU}
 """)
 def embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.35). Exact all-pairs here
-    (test-scale); at 100 TB gate the pair join behind ann_lsh_buckets
-    (join on bucket first) exactly as dedup_minhash_lsh gates Jaccard."""
+    """Embedding-cosine near-dup (cosine ≥ 0.35), LSH-gated: the 8-plane
+    sign bucket splits into 2 bands of 4 bits; pairs colliding in EITHER
+    band become candidates (equi-join on (band_id, band_value) — never an
+    all-pairs product), then the exact cosine verifies — the same
+    two-phase candidates→verify shape as dedup_minhash_jaccard. The DuckDB
+    oracle replicates the gate, so the semantics are the operator's
+    declared LSH-recall contract, not a silent approximation. At 10^9
+    vectors the band join shuffles on a uniform 16-value band key per band;
+    verify cost is bounded by collisions, never N^2."""
     emb = table(spark, sf_dir, "embeddings")
-    v = emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"))
-    c = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v"))
+    vb_df = (emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
+             .withColumn("bucket", F.expr(_BUCKET_SPARK)))
+    bands = vb_df.select(
+        "vec_id", "v",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band_id"),
+                     (F.col("bucket") / 16).cast("bigint").alias("bv")),
+            F.struct(F.lit(1).alias("band_id"),
+                     F.pmod(F.col("bucket"), F.lit(16)).alias("bv")),
+        )).alias("band")
+    ).select("vec_id", "v", "band.band_id", "band.bv")
+    a = bands.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"),
+                     "band_id", "bv")
+    b = bands.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v"),
+                     "band_id", "bv")
     return (
-        a.join(c, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, ["band_id", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", F.expr(_DOT_SPARK).alias("cos"))
         .filter(F.col("cos") >= NEAR_DUP_TAU)
     )
