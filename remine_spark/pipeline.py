@@ -159,8 +159,10 @@ def run_pipeline(
         from remine_spark import classifier
 
         rf, asm = classifier.fit_quality_forest(
-            raw_patterns, quality_pools[0], quality_pools[1])
-        scored_patterns = classifier.assign_quality_ml(raw_patterns, rf, asm)
+            raw_patterns, quality_pools[0], quality_pools[1],
+            sentences=sentences)
+        scored_patterns = classifier.assign_quality_ml(
+            raw_patterns, rf, asm, sentences=sentences)
     else:
         scored_patterns = model_mod.assign_quality(raw_patterns)
     patterns_df = checkpoint(spark, workdir, "patterns", scored_patterns, resume)
