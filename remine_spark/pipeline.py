@@ -24,32 +24,44 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from . import mining, model as model_mod, transe, tuples as tuples_mod
+from . import fsio, mining, model as model_mod, transe, tuples as tuples_mod
 from .corpus import sentences_from_pages
 
 TRIPLE_BUCKETS = 64
 
 
 def _exists(path: str) -> bool:
-    return os.path.exists(os.path.join(path, "_SUCCESS"))
+    return fsio.exists(os.path.join(path, "_SUCCESS"))
 
 
 def _lineage(spark: SparkSession, workdir: str, stage: str, path: str,
              wall_s: float) -> None:
     """Per-partition lineage/metrics rows (north_rule): one row per written
-    file (file == write partition), read from the parquet FOOTERS — no extra
-    Spark job per checkpoint (footer metadata is exact and already on disk)."""
+    file (file == write partition). Local workdirs read the parquet FOOTERS
+    — no extra Spark job per checkpoint (footer metadata is exact and
+    already on disk). Object-store workdirs (s3a://…) derive the same rows
+    with one small Spark job (count per input_file_name) since footers are
+    not byte-addressable without a remote read anyway."""
     import glob
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     now = time.time()
     rows = []
-    for pid, f in enumerate(sorted(
-            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))):
-        rows.append((pid, int(pq.ParquetFile(f).metadata.num_rows), stage,
-                     float(wall_s), now, os.path.relpath(f, path)))
-    import pyarrow as pa
+    if not fsio.is_remote(path):
+        for pid, f in enumerate(sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"),
+                          recursive=True))):
+            rows.append((pid, int(pq.ParquetFile(f).metadata.num_rows), stage,
+                         float(wall_s), now, os.path.relpath(f, path)))
+    else:
+        counts = (spark.read.format(TABLE_FORMAT).load(path)
+                  .groupBy(F.input_file_name().alias("f"))
+                  .agg(F.count(F.lit(1)).alias("n")).collect())
+        for pid, r in enumerate(sorted(counts, key=lambda r: r["f"])):
+            rows.append((pid, int(r["n"]), stage, float(wall_s), now,
+                         r["f"].rsplit("/", 1)[-1]))
 
     table = pa.table({
         "partition_id": pa.array([r[0] for r in rows], pa.int32()),
@@ -61,8 +73,14 @@ def _lineage(spark: SparkSession, workdir: str, stage: str, path: str,
         "file": pa.array([r[5] for r in rows]),
     })
     ldir = os.path.join(workdir, "lineage")
-    os.makedirs(ldir, exist_ok=True)
-    pq.write_table(table, os.path.join(ldir, f"{stage}-{int(now * 1000)}.parquet"))
+    fname = f"{stage}-{int(now * 1000)}.parquet"
+    if not fsio.is_remote(ldir):
+        os.makedirs(ldir, exist_ok=True)
+        pq.write_table(table, os.path.join(ldir, fname))
+    else:
+        # one tiny single-partition write through the same FS connector
+        (spark.createDataFrame(table.to_pandas())
+         .coalesce(1).write.mode("append").parquet(ldir))
 
 
 def _read_wide(spark: SparkSession, path: str, schema=None) -> DataFrame:
@@ -113,19 +131,16 @@ def save_model(workdir: str, m: model_mod.SegModel,
     }
     if outer_done is not None:
         blob["outer_done"] = outer_done
-    tmp = os.path.join(workdir, name + ".tmp")
-    with open(tmp, "w") as fh:
-        json.dump(blob, fh)
-    os.replace(tmp, os.path.join(workdir, name))  # atomic, never torn
+    # atomic, never torn; routes via Hadoop FS for s3a://-style workdirs
+    fsio.write_text_atomic(os.path.join(workdir, name), json.dumps(blob))
 
 
 def load_model(workdir: str, name: str = "segmodel.json"
                ) -> model_mod.SegModel | None:
-    path = os.path.join(workdir, name)
-    if not os.path.exists(path):
+    raw = fsio.read_text(os.path.join(workdir, name))
+    if raw is None:
         return None
-    with open(path) as fh:
-        blob = json.load(fh)
+    blob = json.loads(raw)
     pats = [(tuple(t), int(f), float(q), i) for (t, f, q, i) in blob["patterns"]]
     m = model_mod.SegModel(pats, {k: int(v) for k, v in blob["tree_total"].items()},
                            deps_prob=blob["deps_prob"])
@@ -147,7 +162,7 @@ def run_pipeline(
     quality source from the deterministic rule table to the pyspark.ml
     DPDN RandomForest (classifier.py — M3/M4/M5); downstream consumes
     only the (indicator, quality) contract either way."""
-    os.makedirs(workdir, exist_ok=True)
+    fsio.makedirs(workdir)
 
     # 1. sentences (S1 + UDF1/UDF2)
     sentences = checkpoint(
@@ -239,10 +254,13 @@ def run_pipeline(
     # surfaces resolve to canonical entity ids via broadcast joins (the
     # entity map is the small side; at extreme entity cardinality switch to
     # a bucketed sort-merge join on `entity`), salted on subj_id
-    if "entity_id" not in entities.columns:
-        # resumed from a pre-entity_id checkpoint: the id is a pure function
-        # of the canonical form, so deriving it on read is identical
-        entities = entities.withColumn("entity_id", F.xxhash64("entity"))
+    # A pre-entity_id checkpoint re-read with the current schema yields the
+    # column present but NULL in every row (checkpoint() reads with
+    # schema=df.schema, so a column-presence check can never fire); the id
+    # is a pure function of the canonical form, so deriving it on read is
+    # identical either way.
+    entities = entities.withColumn(
+        "entity_id", F.coalesce(F.col("entity_id"), F.xxhash64("entity")))
     ent_ids = entities.select("entity", "entity_id")
     subj_ids = ent_ids.select(F.col("entity").alias("subj"),
                               F.col("entity_id").alias("subj_id"))

@@ -8,9 +8,11 @@ arriving pages via ``foreachBatch`` re-running the same corpus→mentions→
 tuples stages on each micro-batch and appending to the triples table.
 
 Exactly-once: the file source tracks processed files in the streaming
-checkpoint; foreachBatch writes are idempotent per epoch_id only via the
-append + checkpoint contract (for a transactional sink use Iceberg's
-commit-per-epoch — the code seam is identical).
+checkpoint; the sink is partitioned by epoch_id and each micro-batch
+dynamically overwrites its own epoch partition, so a replayed epoch
+(crash between write and checkpoint commit) replaces rather than
+duplicates its output (Iceberg commit-per-epoch is the transactional
+equivalent — identical code seam).
 
 Scale notes: each micro-batch is bounded (maxFilesPerTrigger); the model
 broadcast is shipped once per process, not per batch; scoring reuses the
@@ -25,6 +27,18 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from remine_spark import model as model_mod, pipeline, transe, tuples as tuples_mod
 from remine_spark.corpus import sentences_from_pages
 from remine_spark.streaming.ingest import stream_pages
+
+
+def write_epoch(out: DataFrame, out_dir: str) -> None:
+    """Idempotent micro-batch sink: the table is partitioned by epoch_id
+    and each batch dynamically OVERWRITES exactly its own epoch partition
+    — if the job dies between this write and the streaming checkpoint
+    commit, the replayed epoch replaces its output instead of appending
+    duplicates. (Iceberg's commit-per-epoch is the transactional
+    equivalent; same seam.)"""
+    (out.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("epoch_id", "bucket").parquet(out_dir))
 
 
 def run_incremental_kg(
@@ -56,7 +70,7 @@ def run_incremental_kg(
             .alias("bucket"),
             F.lit(epoch_id).alias("epoch_id"),
         ).repartition(F.col("bucket"))
-        out.write.mode("append").partitionBy("bucket").parquet(out_dir)
+        write_epoch(out, out_dir)
 
     pages = stream_pages(spark, input_dir,
                          max_files_per_trigger=max_files_per_trigger)

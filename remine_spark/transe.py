@@ -60,33 +60,32 @@ class TransEModel:
 
 
 def save_model(model: TransEModel, path: str, epoch: int) -> None:
-    """Epoch checkpoint: parameters + vocab + last completed epoch."""
+    """Epoch checkpoint: parameters + vocab + last completed epoch.
+    Atomic (a killed run never leaves a torn file); scheme-aware via fsio
+    so s3a://-style workdirs checkpoint too."""
     import json
-    import os
 
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({
-            "epoch": epoch,
-            "dim": model.dim,
-            "ents": sorted(model.ent2id, key=model.ent2id.get),
-            "rels": sorted(model.rel2id, key=model.rel2id.get),
-            "E": model.E.tolist(),
-            "R": model.R.tolist(),
-        }, fh)
-    import os as _os
-    _os.replace(tmp, path)  # atomic: a killed run never leaves a torn file
+    from . import fsio
+
+    fsio.write_text_atomic(path, json.dumps({
+        "epoch": epoch,
+        "dim": model.dim,
+        "ents": sorted(model.ent2id, key=model.ent2id.get),
+        "rels": sorted(model.rel2id, key=model.rel2id.get),
+        "E": model.E.tolist(),
+        "R": model.R.tolist(),
+    }))
 
 
 def load_model(path: str) -> tuple[TransEModel, int] | None:
     import json
-    import os
 
-    if not os.path.exists(path):
+    from . import fsio
+
+    raw = fsio.read_text(path)
+    if raw is None:
         return None
-    with open(path) as fh:
-        blob = json.load(fh)
+    blob = json.loads(raw)
     m = TransEModel({e: i for i, e in enumerate(blob["ents"])},
                     {r: i for i, r in enumerate(blob["rels"])},
                     dim=blob["dim"])

@@ -158,3 +158,26 @@ def test_incremental_kg_update(spark, tmpdirs, tmp_path):
     kg_update.run_incremental_kg(
         spark, tmpdirs["in"], tmpdirs["out"], tmpdirs["ckpt"], wd)
     assert spark.read.parquet(tmpdirs["out"]).count() == n1
+
+
+def test_epoch_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r1: a replayed micro-batch (crash between write and streaming
+    checkpoint commit) must REPLACE its epoch partition, not append dups."""
+    from remine_spark.streaming import kg_update
+
+    out_dir = str(tmp_path / "triples")
+    df = spark.createDataFrame(
+        [("u1", "a", "r", "b", 0, 0), ("u2", "c", "r", "d", 1, 0)],
+        "url string, subj string, pred string, obj string, bucket int, "
+        "epoch_id long")
+    kg_update.write_epoch(df, out_dir)
+    n1 = spark.read.parquet(out_dir).count()
+    # replay the SAME epoch → replaced, not duplicated
+    kg_update.write_epoch(df, out_dir)
+    assert spark.read.parquet(out_dir).count() == n1
+    # a NEW epoch appends without touching epoch 0
+    df2 = df.withColumn("epoch_id", df.epoch_id + 1)
+    kg_update.write_epoch(df2, out_dir)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == n1 * 2
+    assert got.filter("epoch_id = 0").count() == n1
