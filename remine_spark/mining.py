@@ -149,15 +149,20 @@ def unigram_counts(sentences: DataFrame) -> DataFrame:
 def idf(sentences: DataFrame) -> DataFrame:
     """A3 (documents.h:300-309): idf = log(total_docs / doc_freq + EPS).
 
-    countDistinct shuffles once; at 10^12-doc scale swap for
-    approx_count_distinct — semantics of downstream features tolerate it.
+    The doc-count denominator rides the same job as a broadcast 1-row
+    cross join (no separate count action). countDistinct shuffles once; at
+    10^12-doc scale swap for approx_count_distinct — semantics of
+    downstream features tolerate it.
     """
-    n_docs = sentences.select("doc_id").distinct().count()
+    n1 = (sentences.agg(F.count_distinct("doc_id").cast("double")
+                        .alias("n_docs")))
     return (
         sentences.select("doc_id", F.explode("tokens").alias("token"))
         .groupBy("token")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df") + F.lit(1e-8)))
+        .crossJoin(F.broadcast(n1))
+        .withColumn("idf", F.log(F.col("n_docs") / F.col("df") + F.lit(1e-8)))
+        .drop("n_docs")
     )
 
 

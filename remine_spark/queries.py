@@ -100,15 +100,19 @@ def a2_bigram_minsup(spark, sf_dir):
     SELECT token, df, round(ln(d.n / df), 6) AS idf FROM df, d
 """)
 def a3_token_idf(spark, sf_dir):
-    """A3 (documents.h:300-309): document frequency + idf."""
+    """A3 (documents.h:300-309): document frequency + idf. The doc-count
+    denominator rides the SAME job as a broadcast 1-row cross join (as the
+    DuckDB oracle formulates it) — no separate count() pass."""
     d = _t(spark, sf_dir, "documents")
-    n = d.count()
+    n1 = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     return (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.countDistinct("doc_id").alias("df"))
-        .withColumn("idf", F.round(F.log(F.lit(float(n)) / F.col("df")), 6))
+        .crossJoin(F.broadcast(n1))
+        .withColumn("idf", F.round(F.log(F.col("n_docs") / F.col("df")), 6))
+        .drop("n_docs")
     )
 
 
