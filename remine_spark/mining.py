@@ -54,19 +54,42 @@ def mine_patterns(
 ) -> DataFrame:
     """patterns(ngram, ngram_key, n, freq, pos_key) with freq ≥ min_sup.
 
-    One shuffle (hash agg on ngram). pos_key is deterministic because the
-    tagger is context-free; min() makes it deterministic regardless.
+    One shuffle (hash agg). The candidate stream carries only two strings
+    per n-gram — the space-joined ngram_key and pos_key — instead of the
+    positional struct ngram_candidates emits: string keys hash/compare
+    cheaper in the aggregation hashmap and halve the exploded volume (this
+    stage is the pipeline's biggest JVM cost). The punctuation-crossing
+    prune tests the POS key (every PUNC token tags '.', nlp.pos_tag) with
+    one instr — equivalent to the array_intersect form, no array allocs.
+    The array form (ngram) is rebuilt by split() on the min_sup survivors
+    only. pos_key is deterministic because the tagger is context-free;
+    min() makes it deterministic regardless.
     """
+    gen = F.expr(
+        f"""
+        flatten(transform(sequence(0, size(tokens)-1), i ->
+          transform(sequence(1, least({int(max_len)}, size(tokens)-i)), n ->
+            struct(array_join(slice(tokens, i+1, n), ' ') AS ngram_key,
+                   array_join(slice(pos, i+1, n), ' ') AS pos_key))))
+        """
+    )
     return (
-        ngram_candidates(sentences, max_len)
-        .groupBy("ngram")
+        sentences
+        .select(F.explode(gen).alias("g"))
+        .select("g.ngram_key", "g.pos_key")
+        .filter(F.expr("instr(concat(' ', pos_key, ' '), ' . ') = 0"))
+        .groupBy("ngram_key")
         .agg(
             F.count(F.lit(1)).alias("freq"),
             F.min("pos_key").alias("pos_key"),
-            F.first("n").alias("n"),
         )
         .filter(F.col("freq") >= min_sup)
-        .withColumn("ngram_key", F.array_join("ngram", " "))
+        .select(
+            F.split("ngram_key", " ").alias("ngram"),
+            "freq", "pos_key",
+            F.size(F.split("ngram_key", " ")).alias("n"),
+            "ngram_key",
+        )
     )
 
 
@@ -121,8 +144,17 @@ def mine_patterns_boosted(
     with freq = min_sup exactly as the reference floors currentFreq to
     MIN_SUP — this is what lets legitimate tail NP entities become
     mentions. The anti-join's build side is the boost table (small);
-    Catalyst broadcasts it."""
-    mined = mine_patterns(sentences, min_sup, max_len)
+    Catalyst broadcasts it.
+
+    The mined table feeds BOTH the union and the anti-join — without
+    materialization the full corpus explode-agg (the pipeline's most
+    expensive JVM stage) would execute twice, so the min_sup survivors
+    (bounded, ~100k rows at 1M docs) are persisted and forced once."""
+    from pyspark import StorageLevel
+
+    mined = mine_patterns(sentences, min_sup, max_len).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    mined.count()
     extra = (
         boost_patterns(sentences, max_len)
         .join(mined.select("ngram"), "ngram", "left_anti")

@@ -245,6 +245,73 @@ def segment_sentences(sentences: DataFrame, bc_model, rp_only: bool = False) -> 
 # M9 + A7/A8: EM driver loop
 # --------------------------------------------------------------------------
 
+def _em_pass(sentences: DataFrame, bc_model) -> DataFrame:
+    """One EM statistics pass, batch-compacted: Viterbi each sentence but
+    emit only per-batch aggregated rows (key, cnt, energy) — signature
+    keys prefixed 's:', pattern ids prefixed 'p:', plus one 'energy'
+    partial per batch. The per-sentence segments/sigs arrays never cross
+    the Arrow boundary (they were ~10× the useful payload) and the
+    downstream groupBy touches hundreds of rows per task instead of one
+    per sentence. Both EM consumers (adjust_constraints: signatures +
+    energy; rectify_frequency: chosen-pattern counts) read from this one
+    kernel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        m = bc_model.value
+        trie, prob = m["trie"], m["prob"]
+        patterns = m["patterns"]
+        dlp, dflt = m["deps_logprob"], m["default_logprob"]
+        for pdf in batches:
+            counts: Counter = Counter()
+            energy_sum = 0.0
+            for toks, heads in zip(pdf["tokens"], pdf["dep_head"]):
+                toks = list(toks)
+                deps = [(i, int(h)) for i, h in enumerate(heads)]
+                segs, energy = algo.segment_sentence(
+                    toks, deps, trie, patterns, prob, dlp, dflt)
+                for (s, e, pid, _ok) in segs:
+                    if pid >= 0:
+                        counts[f"p:{pid}"] += 1
+                        if e - s > 1:
+                            counts["s:" + algo.tree_signature(deps, s, e)] += 1
+                energy_sum += float(energy) if energy > -1e80 else 0.0
+            keys = list(counts.keys()) + ["energy"]
+            cnts = [int(counts[k]) for k in counts] + [0]
+            yield pd.DataFrame({
+                "key": pd.Series(keys, dtype=object),
+                "cnt": pd.Series(cnts, dtype="int64"),
+                "energy": pd.Series([0.0] * (len(keys) - 1) + [energy_sum],
+                                    dtype="float64"),
+            })
+
+    cols = sentences.select("tokens", "dep_head")
+    return cols.mapInPandas(run, schema="key string, cnt long, energy double")
+
+
+def _em_stats(spark: SparkSession, sentences: DataFrame, model: SegModel
+              ) -> tuple[dict, dict, float]:
+    """(signature counts, chosen-pattern counts, total energy) in ONE job."""
+    bc = spark.sparkContext.broadcast(model.payload())
+    rows = (
+        _em_pass(sentences, bc)
+        .groupBy("key")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("energy").alias("energy"))
+        .collect()
+    )
+    bc.destroy()
+    sig_cnt, pat_cnt, energy = {}, {}, 0.0
+    for r in rows:
+        if r.key == "energy":
+            energy = float(r.energy or 0.0)
+        elif r.key.startswith("s:"):
+            sig_cnt[r.key[2:]] = int(r.cnt)
+        else:
+            pat_cnt[int(r.key[2:])] = int(r.cnt)
+    return sig_cnt, pat_cnt, energy
+
+
 def adjust_constraints(
     spark: SparkSession, sentences: DataFrame, model: SegModel,
     inner_iters: int = 10, rel_eps: float = EPS,
@@ -252,39 +319,15 @@ def adjust_constraints(
     """Inner EM loop (main.cpp:187-198 + adjustConstraints
     segmentation.h:884-967): segment → count chosen multi-word span
     signatures → deps_prob[sig] = cnt / total, until relative energy change
-    < rel_eps. Returns the energy trajectory."""
-    from pyspark.sql import Observation
-
+    < rel_eps. Returns the energy trajectory. One batch-compacted corpus
+    pass per iteration (signature counts + energy ride the same job)."""
     energies: list[float] = []
     last = 1e100
     for _ in range(inner_iters):
-        bc = spark.sparkContext.broadcast(model.payload())
-        # single corpus pass per iteration: the signature counts are the
-        # job's result and the energy rides along as an Observation metric
-        # (no cache, no second action — halves the EM job count)
-        obs = Observation()
-        seg = segment_sentences(sentences, bc).observe(
-            obs, F.sum("energy").alias("energy"))
-        stats = (
-            seg.select(F.explode("sigs").alias("signature"))
-            .groupBy("signature")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .collect()
-        )
-        try:
-            energy = obs.get["energy"] or 0.0
-        except Exception:
-            # Spark 4.1 asserts retrieving observed metrics when the
-            # downstream explode produced zero rows (degenerate corpora with
-            # no multi-word segments); fall back to a dedicated energy pass
-            energy = (
-                segment_sentences(sentences, bc)
-                .agg(F.sum("energy")).first()[0] or 0.0)
-        cnts = {r.signature: int(r.cnt) for r in stats}
+        cnts, _pat, energy = _em_stats(spark, sentences, model)
         model.deps_prob = {
             s: cnts.get(s, 0) / t for s, t in model.tree_total.items() if t > 0
         }
-        bc.destroy()
         energies.append(energy)
         if abs(energy - last) / abs(last) < rel_eps:
             break
@@ -299,17 +342,7 @@ def rectify_frequency(
     number of times Viterbi chose it; then rebuild trie/probs (patterns with
     rectified freq 0 drop out of the trie for multi-word, segmentation.h:46).
     """
-    bc = spark.sparkContext.broadcast(model.payload())
-    seg = segment_sentences(sentences, bc)
-    chosen = (
-        seg.select(F.explode("segments").alias("s"))
-        .filter(F.col("s.pattern_id") >= 0)
-        .groupBy("s.pattern_id")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    )
-    bc.destroy()
-    cnt = {int(r.pattern_id): int(r.cnt) for r in chosen}
+    _sig, cnt, _energy = _em_stats(spark, sentences, model)
     new_patterns = [
         (toks, cnt.get(pid, 0), q, ind)
         for pid, (toks, _f, q, ind) in enumerate(model.patterns)

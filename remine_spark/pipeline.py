@@ -163,10 +163,18 @@ def run_pipeline(
     DPDN RandomForest (classifier.py — M3/M4/M5); downstream consumes
     only the (indicator, quality) contract either way."""
     fsio.makedirs(workdir)
+    timings: dict[str, float] = {}
+    _t0 = [time.time()]
+
+    def _mark(phase: str) -> None:
+        now = time.time()
+        timings[phase] = round(now - _t0[0], 2)
+        _t0[0] = now
 
     # 1. sentences (S1 + UDF1/UDF2)
     sentences = checkpoint(
         spark, workdir, "sentences", sentences_from_pages(pages), resume)
+    _mark("sentences")
 
     # 2. patterns (A1/A2 + M14 chunk boost + M3/M5 quality)
     raw_patterns = mining.mine_patterns_boosted(sentences, min_sup, max_len)
@@ -181,6 +189,7 @@ def run_pipeline(
     else:
         scored_patterns = model_mod.assign_quality(raw_patterns)
     patterns_df = checkpoint(spark, workdir, "patterns", scored_patterns, resume)
+    _mark("patterns")
 
     # 3. ReMine-Local fit (A6/A7/A8 + M9)
     # The fit + mention/tuple stages make ~6 full passes over sentences.
@@ -207,6 +216,7 @@ def run_pipeline(
             m = model_mod.rectify_frequency(spark, sentences, m)
             save_model(workdir, m, "segmodel_partial.json", outer_done=it + 1)
         save_model(workdir, m)
+    _mark("em_fit")
 
     bc = spark.sparkContext.broadcast(m.payload())
 
@@ -216,6 +226,7 @@ def run_pipeline(
         resume)
     tuples = checkpoint(
         spark, workdir, "tuples", tuples_mod.tuples_df(sentences, bc), resume)
+    _mark("mentions_tuples")
 
     # 5. ReMine-Global (M12/M13) + ranked triples sink, subj-hash salted (S8)
     te = transe.fit(
@@ -225,6 +236,7 @@ def run_pipeline(
     kg_embeddings = checkpoint(
         spark, workdir, "kg_embeddings", transe.embeddings_df(spark, te),
         resume)
+    _mark("transe")
     ranked = transe.score_and_rank(spark, tuples, te)
     triples = ranked.select(
         "url", "doc_id", "sent_id", "subj", "pred", "obj", "score", "rank",
@@ -232,6 +244,7 @@ def run_pipeline(
     ).repartition(TRIPLE_BUCKETS, F.col("bucket"))  # one file per bucket
     triples = checkpoint(spark, workdir, "triples", triples, resume,
                          partition_cols=["bucket"])
+    _mark("rank_triples")
 
     # entity canonicalization map: mention surface → canonical form, with a
     # stable shuffle-free entity_id (xxhash64 of the canonical form —
@@ -278,8 +291,10 @@ def run_pipeline(
     )
     edges = checkpoint(spark, workdir, "edges", edges, resume,
                        partition_cols=["bucket"])
+    _mark("entities_edges")
 
     return {
+        "timings": timings,
         "sentences": sentences, "patterns": patterns_df,
         "mentions": mentions, "tuples": tuples, "triples": triples,
         "entities": entities, "edges": edges,
