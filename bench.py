@@ -40,7 +40,8 @@ HEADLINE = [
     "q1_pricing_summary", "a2_bigram_minsup", "a3_token_idf",
     "j1_pattern_lookup", "j2_subpattern_join", "j8_nation_revenue",
     "w1_rank_per_group", "w4_lead_gaps", "dedup_exact", "text_quality_score",
-    "dedup_minhash_lsh", "dedup_simhash", "ann_cosine_topk", "ann_lsh_topk",
+    "dedup_minhash_lsh", "dedup_minhash_jaccard", "dedup_simhash",
+    "ann_cosine_topk", "ann_lsh_topk", "embedding_near_dup", "kg_degree",
     "token_count", "doc_fingerprint", "mm_decode_meta",
 ]
 

@@ -20,10 +20,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .nlp import PUNC
+from .nlp import LEXICON, PUNC
 
 MIN_SUP = 10      # phrase_extraction.sh:3 (compiled default 30, parameters.h:58)
 MAX_LEN = 6       # frequent_pattern_mining.h:260 mine cap
+
+
+def _pos_key_expr(ngram_key_col: str):
+    """POS key of a space-joined n-gram as a pure Spark expression — the
+    tagger (nlp.pos_tag) is a context-free per-token dictionary + suffix
+    map, so it transliterates 1:1 into a map lookup + CASE chain (same
+    rule order: punctuation, lexicon, digit, -ed, -ing, -s, NN default).
+    JVM-side: no python worker in the patterns checkpoint write path."""
+    items = []
+    for p in sorted(PUNC):
+        items += [F.lit(p), F.lit(".")]
+    for w, t in sorted(LEXICON.items()):
+        items += [F.lit(w), F.lit(t)]
+    lex = F.create_map(*items)
+
+    def tag(t):
+        return F.coalesce(
+            F.element_at(lex, t),
+            F.when(t.rlike("^[0-9]+$"), "CD")
+            .when((F.length(t) > 4) & t.endswith("ed"), "VBD")
+            .when((F.length(t) > 4) & t.endswith("ing"), "VBG")
+            .when(t.endswith("s") & (F.length(t) > 3), "NNS")
+            .otherwise("NN"))
+
+    return F.array_join(
+        F.transform(F.split(F.col(ngram_key_col), " "), tag), " ")
 
 
 def ngram_candidates(sentences: DataFrame, max_len: int = MAX_LEN) -> DataFrame:
@@ -73,23 +99,26 @@ def mine_patterns(
                    array_join(slice(pos, i+1, n), ' ') AS pos_key))))
         """
     )
-    return (
+    survivors = (
         sentences
         .select(F.explode(gen).alias("g"))
         .select("g.ngram_key", "g.pos_key")
         .filter(F.expr("instr(concat(' ', pos_key, ' '), ' . ') = 0"))
         .groupBy("ngram_key")
-        .agg(
-            F.count(F.lit(1)).alias("freq"),
-            F.min("pos_key").alias("pos_key"),
-        )
+        .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_sup)
-        .select(
-            F.split("ngram_key", " ").alias("ngram"),
-            "freq", "pos_key",
-            F.size(F.split("ngram_key", " ")).alias("n"),
-            "ngram_key",
-        )
+    )
+    # pos_key is re-derived on the bounded survivor set: the tagger is
+    # context-free (nlp.pos_tag is a per-token map), so tagging the ngram
+    # directly is identical to any occurrence slice — and not carrying a
+    # second string through the 6x-corpus aggregation (nor a min() string
+    # buffer per key) nearly halves the stage's shuffle and hashmap cost.
+    return survivors.select(
+        F.split("ngram_key", " ").alias("ngram"),
+        "freq",
+        _pos_key_expr("ngram_key").alias("pos_key"),
+        F.size(F.split("ngram_key", " ")).alias("n"),
+        "ngram_key",
     )
 
 

@@ -61,3 +61,24 @@ def test_boost_pattern_becomes_mention_end_to_end(spark, tmp_path):
     surfaces = {r.ngram_key for r in boosted.collect()}
     mention_texts = {r.text for r in out["mentions"].collect()}
     assert surfaces & mention_texts, "no boost pattern became a mention"
+
+
+def test_pos_key_expr_matches_python_tagger(spark):
+    """mining._pos_key_expr must transliterate nlp.pos_tag exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vocab = (list(nlp.LEXICON) + sorted(nlp.PUNC)
+             + ["42", "1999", "walked", "jumped", "running", "things",
+                "cats", "x", "zzqw", "abs", "ed", "ing", "s"])
+    keys = [" ".join(rng.choices(vocab, k=rng.randint(1, 6)))
+            for _ in range(300)]
+    df = spark.createDataFrame([(k,) for k in keys], "ngram_key string")
+    got = {r.ngram_key: r.pk for r in df.select(
+        "ngram_key", mining._pos_key_expr("ngram_key").alias("pk")
+    ).collect()}
+    for k in keys:
+        want = " ".join(nlp.pos_tag(k.split(" ")))
+        assert got[k] == want, (k, got[k], want)
