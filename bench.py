@@ -27,14 +27,16 @@ BENCH_DOCS = int(os.environ.get("REMINE_BENCH_DOCS", "24000"))
 # scaling runs need enough input that parallel compute dominates fixed
 # session/job overhead, otherwise the N→4N proxy measures JVM constants
 SCALING_DOCS = int(os.environ.get("REMINE_SCALING_DOCS", "1000000"))
-# N and 4N task slots for the scaling proxy. Every Arrow-python task slot
-# needs one JVM feeder thread AND one python worker, so local[32] on a
-# 32-core box runs 64 busy threads (2:1 oversubscribed) — a hardware
-# artifact a real 4N-executor cluster doesn't have. The default 2→8 keeps
-# the top config at 16 threads on 32 cores, clear of the box's memory-
-# bandwidth and scheduler ceilings (see BENCH.md saturation ladder:
-# 2→8 = 0.87, 4→16 = 0.72, 8→32 = 0.20 on identical input).
-SCALING_N = int(os.environ.get("REMINE_SCALING_N", "2"))
+# N and 4N task slots for the scaling proxy — the driver-specified pair
+# local[8] → local[32]. Every Arrow-python task slot occupies one JVM
+# feeder thread AND one python worker, so local[32] on this 32-core box
+# runs 64 busy threads (2:1 oversubscribed) — a hardware artifact a real
+# 4N-executor cluster doesn't have; the r2 per-stage optimizations
+# (string-key mining, compact EM kernel, right-sized TransE partitions,
+# JVM expression tagger) lifted the specified pair from 0.20 to ≥0.5
+# measured (BENCH.md). The least-contended 2→8 pair remains the faithful
+# cluster estimate and is reported alongside.
+SCALING_N = int(os.environ.get("REMINE_SCALING_N", "8"))
 
 HEADLINE = [
     "q1_pricing_summary", "a2_bigram_minsup", "a3_token_idf",

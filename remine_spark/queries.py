@@ -254,6 +254,37 @@ def j8_nation_revenue(spark, sf_dir):
     )
 
 
+@_q("q5_region_revenue", """
+    SELECT r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY r.r_name
+""")
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: a 4-hop dim chain (region→nation→customer) hangs
+    off the fact via broadcast joins — the dims collapse to one broadcast
+    stage, the fact scans once, and the final agg groups on 5 regions.
+    Exercises Catalyst join reordering over the full star schema."""
+    r, n = _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation")
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows / sorts / top-k (W1-W5)
 # ---------------------------------------------------------------------------
