@@ -389,35 +389,53 @@ def fit_quality_forest(patterns: DataFrame, ent_pool: set[str],
                        rel_pool: set[str], num_trees: int = 100,
                        seed: int = 42, sentences: DataFrame | None = None):
     """M4 (random_forest.h:108-290 contract): seeded pyspark.ml
-    RandomForest on DPDN-labeled, featurized patterns. 100 trees (not the
-    reference's 1000 — its forest is extremely-randomized with 4 feature ×
-    4 split candidates, so trees are individually much weaker). Pass the
-    ``sentences`` table to train on the full corpus-context feature
-    families (punctuation/completeness/statistical/outside-idf)."""
+    RandomForests on DPDN-labeled, featurized patterns — TWO forests like
+    the reference (predict_quality.h trains the multi-word classifier on
+    the 25-feature family and a separate unigram classifier on the
+    20-feature family), falling back to one shared forest when a split
+    has no rows. 100 trees (not the reference's 1000 — its forest is
+    extremely-randomized with 4 feature × 4 split candidates, so trees
+    are individually much weaker). Pass the ``sentences`` table to train
+    on the full corpus-context feature families."""
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import VectorAssembler
 
     labeled = featurize(label_patterns(patterns, ent_pool, rel_pool),
-                        sentences=sentences)
+                        sentences=sentences).cache()
     asm = VectorAssembler(inputCols=FEATURES, outputCol="features")
-    rf = RandomForestClassifier(
-        labelCol="label", featuresCol="features", numTrees=num_trees,
-        maxDepth=8, seed=seed)
-    train = asm.transform(labeled)
-    return rf.fit(train), asm
+
+    def train_on(df):
+        rf = RandomForestClassifier(
+            labelCol="label", featuresCol="features", numTrees=num_trees,
+            maxDepth=8, seed=seed)
+        return rf.fit(asm.transform(df))
+
+    multi = labeled.filter(F.col("n") > 1)
+    uni = labeled.filter(F.col("n") == 1)
+    if multi.isEmpty() or uni.isEmpty():
+        shared = train_on(labeled)
+        return {"multi": shared, "uni": shared}, asm
+    return {"multi": train_on(multi), "uni": train_on(uni)}, asm
 
 
 def assign_quality_ml(patterns: DataFrame, rf_model, assembler,
                       sentences: DataFrame | None = None) -> DataFrame:
     """M5 (predict_quality.h:12-82): indicator = argmax class, quality =
     probability of that class; unigram POS overrides verbatim
-    (predict_quality.h:143-155). Scoring is JVM-side (pyspark.ml broadcast
-    model), no python in the loop. ``sentences`` must match what
-    :func:`fit_quality_forest` saw (same featurization)."""
+    (predict_quality.h:143-155). Multi-word rows score through the
+    multi-word forest, unigram rows through the unigram forest (the
+    reference's two-classifier split). Scoring is JVM-side (pyspark.ml
+    broadcast models), no python in the loop. ``sentences`` must match
+    what :func:`fit_quality_forest` saw (same featurization)."""
     from pyspark.ml.functions import vector_to_array
 
-    scored = rf_model.transform(assembler.transform(
-        featurize(patterns, sentences=sentences)))
+    if not isinstance(rf_model, dict):  # single-forest compatibility
+        rf_model = {"multi": rf_model, "uni": rf_model}
+    feats = assembler.transform(featurize(patterns, sentences=sentences))
+    scored = (
+        rf_model["multi"].transform(feats.filter(F.col("n") > 1))
+        .unionByName(rf_model["uni"].transform(feats.filter(F.col("n") == 1)))
+    )
     probs = vector_to_array("probability")
     pred = F.col("prediction").cast("int")
     ind = (F.when(pred == LABEL_EP, "EP")
