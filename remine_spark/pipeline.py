@@ -148,6 +148,34 @@ def load_model(workdir: str, name: str = "segmodel.json"
     return m
 
 
+def _guard_resume_input(pages: DataFrame, workdir: str, resume: bool) -> None:
+    """Refuse to resume a workdir whose checkpoints came from DIFFERENT
+    input: stale-workdir resume silently yields triples for a corpus the
+    caller never passed (observed in practice with a shared /tmp workdir).
+    The fingerprint is driver-side only — the sorted input file list plus
+    the schema — no data scan, so it costs nothing at 100 TB. In-memory
+    inputs (no backing files) fingerprint as their schema alone."""
+    import hashlib
+
+    files = sorted(pages.inputFiles())
+    fp = hashlib.md5(
+        ("\n".join(files) + "\0" + pages.schema.json()).encode()
+    ).hexdigest()
+    marker = os.path.join(workdir, "input_fingerprint.json")
+    prior = fsio.read_text(marker)
+    if prior is not None and resume:
+        blob = json.loads(prior)
+        if blob.get("fingerprint") != fp:
+            raise ValueError(
+                f"workdir {workdir!r} holds checkpoints for different input "
+                f"(fingerprint {blob.get('fingerprint')!r} != {fp!r}, "
+                f"{blob.get('n_files')} vs {len(files)} input files). "
+                "Use a fresh --workdir or pass resume=False/--no-resume to "
+                "recompute.")
+    fsio.write_text_atomic(marker, json.dumps(
+        {"fingerprint": fp, "n_files": len(files)}))
+
+
 def run_pipeline(
     spark: SparkSession, pages: DataFrame, workdir: str,
     min_sup: int = mining.MIN_SUP, max_len: int = mining.MAX_LEN,
@@ -163,6 +191,7 @@ def run_pipeline(
     DPDN RandomForest (classifier.py — M3/M4/M5); downstream consumes
     only the (indicator, quality) contract either way."""
     fsio.makedirs(workdir)
+    _guard_resume_input(pages, workdir, resume)
     timings: dict[str, float] = {}
     _t0 = [time.time()]
 
