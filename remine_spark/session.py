@@ -65,6 +65,9 @@ def get_spark(
         # by maxPartitionBytes regardless)
         .config("spark.sql.files.openCostInBytes", str(8 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # dump a python traceback if an Arrow worker dies/hangs mid-protocol
+        # (diagnosability for long unattended runs; no steady-state cost)
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
