@@ -126,26 +126,36 @@ def corpus_features(patterns: DataFrame, sentences: DataFrame,
     """
     from remine_spark import mining
 
+    from pyspark import StorageLevel
+
     pat = patterns.select("ngram", "ngram_key", "n", "freq").cache()
     sents = sentences.select("doc_id", "sent_id", "tokens", "case_mask")
-    occ = (
+    # ONE occurrences materialization feeds both the punctuation flags and
+    # the outside-idf window pass (each re-derivation would re-run the
+    # corpus-scale candidate explode + semi-join)
+    occ_base = (
         mining.occurrences(sentences, patterns, max_len)
         .withColumn("ngram_key", F.array_join("ngram", " "))
-        .join(sents, ["doc_id", "sent_id"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    occ = occ_base.join(sents, ["doc_id", "sent_id"])
 
     prev_t = F.when(F.col("start") >= 1, F.element_at("tokens", F.col("start")))
     next_t = F.when(F.col("end_pos") + 2 <= F.size("tokens"),
                     F.element_at("tokens", F.col("end_pos") + 2))
     span_mask = F.expr("slice(case_mask, start + 1, n)")
+    # boundary occurrences (prev/next token absent → NULL) must count as 0
+    # in the ratios, exactly like the reference's boundary-false masks —
+    # avg() would silently DROP the NULL rows and inflate the ratio
+    def _flag(cond):
+        return F.coalesce(cond, F.lit(False)).cast("double")
+
     occ_flags = occ.select(
         "ngram_key", "doc_id", "sent_id", "start",
-        (prev_t.isin(*_QUOTES) & next_t.isin(*_QUOTES))
-        .cast("double").alias("q"),
-        (prev_t.isin(*_DASHES) | next_t.isin(*_DASHES))
-        .cast("double").alias("dash"),
-        (prev_t.isin(*_OPEN_PAREN) & next_t.isin(*_CLOSE_PAREN))
-        .cast("double").alias("par"),
+        _flag(prev_t.isin(*_QUOTES) & next_t.isin(*_QUOTES)).alias("q"),
+        _flag(prev_t.isin(*_DASHES) | next_t.isin(*_DASHES)).alias("dash"),
+        _flag(prev_t.isin(*_OPEN_PAREN) & next_t.isin(*_CLOSE_PAREN))
+        .alias("par"),
         F.forall(span_mask, lambda c: c.isin(1, 3)).cast("double").alias("cap"),
         F.forall(span_mask, lambda c: c == 3).cast("double").alias("allcap"),
         prev_t.alias("prev_t"), next_t.alias("next_t"),
@@ -255,8 +265,7 @@ def corpus_features(patterns: DataFrame, sentences: DataFrame,
     # over occurrences, idf-weighted. The window join is the A5 time-bin
     # shape: equi-join on (doc_id, window sent id) — never a cross product.
     occ_pos = (
-        mining.occurrences(sentences, patterns, max_len)
-        .withColumn("ngram_key", F.array_join("ngram", " "))
+        occ_base
         .select("doc_id", "sent_id", "start", "ngram_key",
                 F.posexplode("ngram").alias("j", "tok"),
                 F.col("ngram"))
@@ -282,12 +291,16 @@ def corpus_features(patterns: DataFrame, sentences: DataFrame,
              .alias("f_outside_idf"))
     )
 
-    # unigram independent ratio (extractUnigram :499): freq / corpus count
-    uni = mining.unigram_counts(sentences).select(
-        F.col("token").alias("ngram_key"), F.col("freq").alias("uni_f"))
+    # unigram independent ratio (extractUnigram :499): pattern currentFreq
+    # / raw unigram count. Pre-EM these are the same number (mined unigram
+    # freq IS the corpus count), so the ratio is 1.0 at train time and
+    # only diverges when rectified (post-Viterbi) frequencies are fed
+    # back; the formula stays, the corpus-wide recount does not.
     indep = (
         pat.filter(F.col("n") == 1).select("ngram_key", "freq")
-        .join(F.broadcast(uni), "ngram_key", "left")
+        .join(F.broadcast(freqs.select(F.col("k").alias("ngram_key"),
+                                       F.col("kfreq").alias("uni_f"))),
+              "ngram_key", "left")
         .select("ngram_key",
                 (F.col("freq") / F.greatest(F.coalesce("uni_f", F.lit(0)),
                                             F.lit(1)))
@@ -312,7 +325,14 @@ def corpus_features(patterns: DataFrame, sentences: DataFrame,
     )
     fill = {c: 0.0 for c in CORPUS_FEATURES}
     fill["f_complete_sub"] = 1.0  # unigrams: no sub-pattern, ratio 1
-    return out.fillna(fill)
+    # materialize the BOUNDED result (one row per pattern) so both forest
+    # fits and the scoring pass reuse it, then release the corpus-scale
+    # intermediates
+    out = out.fillna(fill).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    occ_base.unpersist()
+    pat.unpersist()
+    return out
 
 
 CORPUS_FEATURES = [
@@ -412,10 +432,13 @@ def fit_quality_forest(patterns: DataFrame, ent_pool: set[str],
 
     multi = labeled.filter(F.col("n") > 1)
     uni = labeled.filter(F.col("n") == 1)
-    if multi.isEmpty() or uni.isEmpty():
-        shared = train_on(labeled)
-        return {"multi": shared, "uni": shared}, asm
-    return {"multi": train_on(multi), "uni": train_on(uni)}, asm
+    try:
+        if multi.isEmpty() or uni.isEmpty():
+            shared = train_on(labeled)
+            return {"multi": shared, "uni": shared}, asm
+        return {"multi": train_on(multi), "uni": train_on(uni)}, asm
+    finally:
+        labeled.unpersist()
 
 
 def assign_quality_ml(patterns: DataFrame, rf_model, assembler,

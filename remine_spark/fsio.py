@@ -84,6 +84,22 @@ def write_text_atomic(path: str, data: str) -> None:
         stream.write(bytearray(data.encode("utf-8")))
     finally:
         stream.close()
-    if fs.exists(jpath):
-        fs.delete(jpath, False)
-    fs.rename(tmp, jpath)
+    # Atomic overwrite-rename where the store supports it (HDFS/posix via
+    # FileContext.rename(…, OVERWRITE) — no delete window in which a crash
+    # loses BOTH files); stores without FileContext fall back to
+    # delete+rename with the rename result checked.
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        gw = spark.sparkContext._gateway
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jpath.toUri(), spark._jsc.hadoopConfiguration())
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, jpath, opts)
+    except Exception:
+        if fs.exists(jpath):
+            fs.delete(jpath, False)
+        if not fs.rename(tmp, jpath):
+            raise IOError(f"rename {tmp} -> {jpath} failed")

@@ -115,7 +115,10 @@ def pos_tag(tokens: list[str]) -> list[str]:
             tags.append(".")
         elif t in LEXICON:
             tags.append(LEXICON[t])
-        elif t.isdigit():
+        elif t.isascii() and t.isdigit():
+            # ASCII digits only — keeps this tagger bit-identical to the
+            # JVM expression form (mining._pos_key_expr uses ^[0-9]+$;
+            # python isdigit() alone would also accept Unicode digits)
             tags.append("CD")
         elif len(t) > 4 and t.endswith("ed"):
             tags.append("VBD")

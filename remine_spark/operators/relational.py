@@ -26,7 +26,11 @@ def _ordinal(df, key: str, n_parts: int = 8):
     d = (df.repartitionByRange(n_parts, F.col(key))
          .withColumn("_pid", F.spark_partition_id()))
     w = Window.partitionBy("_pid").orderBy(key)
-    d = d.withColumn("_local_rn", F.row_number().over(w))
+    # persist BEFORE the counts action: RangePartitioner samples boundaries
+    # per execution (seeded by rdd id), so an unpersisted plan could place
+    # rows differently in the counts job vs the final join job, misaligning
+    # the offsets. The persist pins one materialized partitioning for both.
+    d = d.withColumn("_local_rn", F.row_number().over(w)).persist()
     counts = sorted((r["_pid"], r["cnt"]) for r in
                     d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt"))
                     .collect())

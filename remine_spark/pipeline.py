@@ -35,7 +35,7 @@ def _exists(path: str) -> bool:
 
 
 def _lineage(spark: SparkSession, workdir: str, stage: str, path: str,
-             wall_s: float) -> None:
+             wall_s: float, schema=None) -> None:
     """Per-partition lineage/metrics rows (north_rule): one row per written
     file (file == write partition). Local workdirs read the parquet FOOTERS
     — no extra Spark job per checkpoint (footer metadata is exact and
@@ -56,7 +56,10 @@ def _lineage(spark: SparkSession, workdir: str, stage: str, path: str,
             rows.append((pid, int(pq.ParquetFile(f).metadata.num_rows), stage,
                          float(wall_s), now, os.path.relpath(f, path)))
     else:
-        counts = (spark.read.format(TABLE_FORMAT).load(path)
+        reader = spark.read.format(TABLE_FORMAT)
+        if schema is not None:
+            reader = reader.schema(schema)  # empty checkpoint: no footers
+        counts = (reader.load(path)
                   .groupBy(F.input_file_name().alias("f"))
                   .agg(F.count(F.lit(1)).alias("n")).collect())
         for pid, r in enumerate(sorted(counts, key=lambda r: r["f"])):
@@ -118,7 +121,8 @@ def checkpoint(spark: SparkSession, workdir: str, stage: str, df: DataFrame,
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.save(path)
-        _lineage(spark, workdir, stage, path, time.time() - t0)
+        _lineage(spark, workdir, stage, path, time.time() - t0,
+                 schema=df.schema)
     return _read_wide(spark, path, schema=df.schema)
 
 

@@ -94,7 +94,7 @@ def load_model(path: str) -> tuple[TransEModel, int] | None:
     return m, int(blob["epoch"])
 
 
-def presum_grads(partials: DataFrame, dim: int) -> DataFrame:
+def presum_grads(partials: DataFrame) -> DataFrame:
     """treeAggregate-equivalent reduction of mergeable gradient partials.
 
     posexplode each grad array to (kind, idx, pos, v) and SUM — a plain
@@ -243,7 +243,7 @@ def fit(
         # JVM-side elementwise pre-sum: one shuffled row per touched
         # parameter reaches the driver (never one per batch partial)
         presummed = presum_grads(
-            edf.mapInPandas(grads, schema=grad_schema), dim)
+            edf.mapInPandas(grads, schema=grad_schema))
         for row in presummed.collect():
             g = np.asarray(row.g)
             if row.kind == "e":

@@ -85,3 +85,19 @@ def test_full_feature_vector_shape(spark):
     row = full.filter("ngram_key = 'Acme Corp'").collect()[0]
     assert row.f_pos_np == 1.0                # NNP NNP → all NP group
     assert row.f_stop_first == 0.0
+
+
+def test_boundary_occurrences_count_as_zero_in_punc_ratios(spark):
+    """Occurrences at sentence boundaries (no prev/next token) must count
+    in the ratio denominator as 0-flags, not be NULL-dropped by avg()."""
+    rows = [_sent(d, 0, ["acme", "corp", "visited", "."]) for d in range(3)]
+    rows.append(_sent(3, 0, ["stark", "-", "acme", "corp", "."]))
+    sents = spark.createDataFrame(
+        rows, "doc_id long, sent_id int, tokens array<string>, "
+              "pos array<string>, case_mask array<int>")
+    pats = mining.mine_patterns(sents, min_sup=2, max_len=3)
+    feats = {r.ngram_key: r for r in
+             classifier.corpus_features(pats, sents, max_len=3).collect()}
+    # dash-adjacent in 1 of 4 occurrences; the 3 sentence-start ones are 0
+    assert abs(feats["acme corp"].f_punc_dash - 0.25) < 1e-9
+    assert feats["acme corp"].f_punc_quote == 0.0

@@ -24,7 +24,7 @@ def test_presum_matches_numpy_merge(spark):
         rows, schema="kind string, idx long, g array<double>"
     ).repartition(3)  # force partials to land on different map tasks
     got = {(r.kind, r.idx): np.asarray(r.g)
-           for r in transe.presum_grads(df, dim).collect()}
+           for r in transe.presum_grads(df).collect()}
     want = {}
     for k, i, g in rows:
         want[(k, i)] = want.get((k, i), np.zeros(dim)) + np.asarray(g)
