@@ -76,7 +76,8 @@ def ngram_candidates(sentences: DataFrame, max_len: int = MAX_LEN) -> DataFrame:
 
 
 def mine_patterns(
-    sentences: DataFrame, min_sup: int = MIN_SUP, max_len: int = MAX_LEN
+    sentences: DataFrame, min_sup: int = MIN_SUP, max_len: int = MAX_LEN,
+    pos_prune: tuple[set, set] | None = None,
 ) -> DataFrame:
     """patterns(ngram, ngram_key, n, freq, pos_key) with freq ≥ min_sup.
 
@@ -99,11 +100,32 @@ def mine_patterns(
                    array_join(slice(pos, i+1, n), ' ') AS pos_key))))
         """
     )
-    survivors = (
+    cand = (
         sentences
         .select(F.explode(gen).alias("g"))
         .select("g.ngram_key", "g.pos_key")
         .filter(F.expr("instr(concat(' ', pos_key, ' '), ' . ') = 0"))
+    )
+    if pos_prune is not None:
+        # P2 (pruneByPOSTag, frequent_pattern_mining.h:222-234; opt-in —
+        # ENABLE_POS_PRUNE is off by default in the reference): a unigram
+        # is pruned when its tag is forbidden as BOTH initial and
+        # expansion; a multi-gram is pruned when its LAST tag is a
+        # forbidden expansion. Both tests are scan-side predicates on the
+        # POS key, applied before the aggregation so pruned candidates
+        # never enter the shuffle.
+        no_initial, no_expansion = pos_prune
+        both = sorted(set(no_initial) & set(no_expansion))
+        last = F.element_at(F.split("pos_key", " "), -1)
+        multi = F.col("pos_key").contains(" ")
+        prune = (
+            (~multi & (last.isin(*both) if both else F.lit(False)))
+            | (multi & (last.isin(*sorted(no_expansion))
+                        if no_expansion else F.lit(False)))
+        )
+        cand = cand.filter(~prune)
+    survivors = (
+        cand
         .groupBy("ngram_key")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= min_sup)
