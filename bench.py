@@ -51,6 +51,11 @@ HEADLINE = [
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from remine_spark.queries import QUERIES
 
+    # warm the session once (JVM codegen, parquet footer reader, Arrow
+    # python-worker pool) so per-query timings measure the queries, not
+    # first-touch initialization; the overall wall still includes this
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
     times = {}
     for name in HEADLINE:
         fn = QUERIES[name]["spark"]
