@@ -307,6 +307,51 @@ def a5_range_window_join(spark, sf_dir):
     )
 
 
+@query("w6_asof_join", """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+           v.event_id AS view_id,
+           CAST(floor(epoch(p.ts)) - floor(epoch(v.ts)) AS BIGINT) AS gap_s
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+""")
+def w6_asof_join(spark, sf_dir):
+    """As-of join — the classic time-series operator Spark lacks natively:
+    each purchase matched to the user's most recent view at-or-before it.
+    Composed from built-ins (the scalable formulation): union the two
+    tagged streams, ONE shuffle on user_id, and a running
+    last-non-null window carries the latest view forward — never a range
+    self-join, never a per-key cross product. Ties at equal ts order the
+    view before the purchase, matching ASOF's v.ts <= p.ts. (user_id, ts)
+    is unique in the events table, so the match is deterministic."""
+    e = table(spark, sf_dir, "events")
+    ts = F.unix_timestamp("ts").cast("bigint")
+    v = (e.filter(F.col("event_type") == "view")
+         .select("user_id", ts.alias("t"), F.lit(0).alias("tag"),
+                 F.col("event_id")))
+    p = (e.filter(F.col("event_type") == "purchase")
+         .select("user_id", ts.alias("t"), F.lit(1).alias("tag"),
+                 F.col("event_id")))
+    u = v.unionByName(p)
+    w = (Window.partitionBy("user_id").orderBy("t", "tag")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    is_view = F.col("tag") == 0
+    enriched = u.select(
+        "*",
+        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True)
+        .over(w).alias("view_id"),
+        F.last(F.when(is_view, F.col("t")), ignorenulls=True)
+        .over(w).alias("view_t"),
+    )
+    return (
+        enriched.filter((F.col("tag") == 1) & F.col("view_id").isNotNull())
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("t").alias("purchase_epoch"), "view_id",
+                (F.col("t") - F.col("view_t")).cast("bigint").alias("gap_s"))
+    )
+
+
 @query("so3_union_pools", """
     SELECT nationkey, count(*) AS n_sources FROM (
         SELECT DISTINCT c_nationkey AS nationkey, 'c' AS src FROM customer
