@@ -352,6 +352,46 @@ def w6_asof_join(spark, sf_dir):
     )
 
 
+@query("ht_rollup", """
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket,
+           CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+           CAST(grouping(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS INT)
+               AS lvl,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS (
+        (event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT),
+         CAST(floor(epoch(ts) / 3600) AS BIGINT)),
+        (event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT)))
+""")
+def ht_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: hourly AND daily
+    continuous-aggregate rows in ONE pass via GROUPING SETS — the
+    timescale continuous-aggregate shape. Partial aggregation runs
+    map-side for both resolutions before a single exchange; `lvl`
+    (grouping bit) distinguishes hourly (0) from daily (1) rows, so a
+    serving layer reads one partitioned table at either resolution."""
+    e = table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    d = e.select(
+        "event_type", "value",
+        F.floor(epoch / 86400).cast("bigint").alias("day_bucket"),
+        F.floor(epoch / 3600).cast("bigint").alias("hour_bucket"))
+    return (
+        d.groupingSets(
+            [["event_type", "day_bucket", "hour_bucket"],
+             ["event_type", "day_bucket"]],
+            "event_type", "day_bucket", "hour_bucket")
+        .agg(F.grouping("hour_bucket").cast("int").alias("lvl"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select("event_type", "day_bucket", "hour_bucket", "lvl",
+                "n_events", "sum_value")
+    )
+
+
 @query("so3_union_pools", """
     SELECT nationkey, count(*) AS n_sources FROM (
         SELECT DISTINCT c_nationkey AS nationkey, 'c' AS src FROM customer
