@@ -98,12 +98,24 @@ def _remine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out = {name: spec["spark"] for name, spec in _CATALOG.items()}
-    out["remine_triples"] = _remine_triples
-    out["remine_mentions"] = _remine_mentions
-    out["remine_entities"] = _remine_entities
-    out["remine_edges"] = _remine_edges
-    out["remine_embeddings"] = _remine_embeddings
+    # Registration order matters: the driver's correctness gate may cap how
+    # many entries it records per round, so the entries that have never
+    # received a CORRECTNESS row (the five flagship pipeline queries plus
+    # ann_ivf_topk / token_count / doc_fingerprint — unrecorded in r1 AND
+    # r2) come FIRST. The flagship five share one resume=True workdir, so
+    # only the first pays the cold pipeline run.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "remine_triples": _remine_triples,
+        "remine_mentions": _remine_mentions,
+        "remine_entities": _remine_entities,
+        "remine_edges": _remine_edges,
+        "remine_embeddings": _remine_embeddings,
+    }
+    for name in ("ann_ivf_topk", "token_count", "doc_fingerprint"):
+        out[name] = _CATALOG[name]["spark"]
+    for name, spec in _CATALOG.items():
+        if name not in out:
+            out[name] = spec["spark"]
     return out
 
 
