@@ -121,20 +121,37 @@ def corpus_features(patterns: DataFrame, sentences: DataFrame,
       and the ±1-sentence outside-context idf feature (A5 shape);
     - avg idf (extractStopwords tail, feature_extraction.h:195-205).
 
-    Returns one row per ngram_key; patterns with no occurrences (e.g.
-    M14 boost entries) zero-fill like the reference's freq==0 guards.
+    Returns one row per ngram_key. M14 boost-injected rows (``is_boost``)
+    zero-fill EVERY occurrence-derived family — punctuation, completeness,
+    statistical, outside-idf — exactly like the reference's external-
+    pattern guards (``id >= id2ends.size()`` in extractStatistical :255 /
+    extractPunctuation :210, and the explicit completeness zero-fill at
+    feature_extraction.h:394-400). Boost patterns DO have corpus
+    occurrences (their freq is merely below min_sup), so the zero-fill
+    must gate on the flag, not on occurrence absence; only the stopword-
+    family avg-idf stays live for them (extractStopwords has no such
+    guard). The returned table is persisted (bounded: one row per
+    pattern) — the CALLER owns the unpersist once the forest fit and the
+    scoring pass have consumed it (run_pipeline releases it after the
+    patterns checkpoint).
     """
     from remine_spark import mining
 
     from pyspark import StorageLevel
 
-    pat = patterns.select("ngram", "ngram_key", "n", "freq").cache()
+    if "is_boost" not in patterns.columns:
+        patterns = patterns.withColumn("is_boost", F.lit(False))
+    pat = patterns.select("ngram", "ngram_key", "n", "freq",
+                          "is_boost").cache()
+    live = pat.filter(~F.col("is_boost"))
     sents = sentences.select("doc_id", "sent_id", "tokens", "case_mask")
     # ONE occurrences materialization feeds both the punctuation flags and
     # the outside-idf window pass (each re-derivation would re-run the
-    # corpus-scale candidate explode + semi-join)
+    # corpus-scale candidate explode + semi-join). Boost rows are excluded
+    # from the semi-join build side: their occurrence-derived features are
+    # zero-filled anyway, so scanning for them is wasted shuffle.
     occ_base = (
-        mining.occurrences(sentences, patterns, max_len)
+        mining.occurrences(sentences, live, max_len)
         .withColumn("ngram_key", F.array_join("ngram", " "))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -184,8 +201,12 @@ def corpus_features(patterns: DataFrame, sentences: DataFrame,
         .join(F.broadcast(freqs), "k")
         .groupBy("ngram_key").agg(F.max("kfreq").alias("super_freq"))
     )
-    # … and sub (J2 prefix/suffix joins), n > 1 only
-    multi = pat.filter(F.col("n") > 1)
+    # … and sub (J2 prefix/suffix joins), n > 1 only; boost rows excluded
+    # (completeness zero-fills for them) — but `freqs` above keeps ALL
+    # patterns including boost: the reference's sub/super lookups go
+    # through pattern2id, which contains external patterns at their
+    # floored currentFreq
+    multi = live.filter(F.col("n") > 1)
     subs = (
         multi.select(
             "ngram_key", "freq",
@@ -260,10 +281,19 @@ def corpus_features(patterns: DataFrame, sentences: DataFrame,
     )
 
     # outside-context idf feature (feature_extraction.h:299-344): window =
-    # sentence ±1 (the reference's two-boundary walk), per-position counts
-    # of the pattern token in the window minus in-pattern counts, averaged
-    # over occurrences, idf-weighted. The window join is the A5 time-bin
-    # shape: equi-join on (doc_id, window sent id) — never a cross product.
+    # sentence ±1, per-position counts of the pattern token in the window
+    # minus in-pattern counts, averaged over occurrences, idf-weighted.
+    # The window width matches the reference exactly — tracing its
+    # boundary walk (`for (int sentences = 0; st >= 0 && sentences < 2;
+    # --st) if (isEndOfSentence(st-1)) ++sentences;`): starting inside
+    # sentence k, the FIRST boundary counted is k's own start, the second
+    # is k-1's start, after which st rests on the end-of-sentence token of
+    # k-2 and context counts from st+1 — i.e. from the START of k-1.
+    # Forward symmetrically stops after the end of k+1. So the context is
+    # sentences {k-1, k, k+1}: ±1, not ±2 (the walk counts two *crossed
+    # boundaries*, not two extra sentences per side).
+    # The window join is the A5 time-bin shape: equi-join on
+    # (doc_id, window sent id) — never a cross product.
     occ_pos = (
         occ_base
         .select("doc_id", "sent_id", "start", "ngram_key",
@@ -308,7 +338,7 @@ def corpus_features(patterns: DataFrame, sentences: DataFrame,
     )
 
     out = (
-        pat.select("ngram_key")
+        pat.select("ngram_key", "is_boost")
         .join(punc, "ngram_key", "left")
         .join(supers.select(
             "ngram_key", F.col("super_freq")), "ngram_key", "left")
@@ -322,9 +352,15 @@ def corpus_features(patterns: DataFrame, sentences: DataFrame,
         .join(avg_idf, "ngram_key", "left")
         .join(outside, "ngram_key", "left")
         .join(indep, "ngram_key", "left")
+        # unigrams have no sub-pattern (ratio 1); boost rows zero-fill
+        # completeness like every other occurrence-derived family
+        .withColumn("f_complete_sub",
+                    F.coalesce("f_complete_sub",
+                               F.when(F.col("is_boost"), 0.0)
+                               .otherwise(1.0)))
+        .drop("is_boost")
     )
     fill = {c: 0.0 for c in CORPUS_FEATURES}
-    fill["f_complete_sub"] = 1.0  # unigrams: no sub-pattern, ratio 1
     # materialize the BOUNDED result (one row per pattern) so both forest
     # fits and the scoring pass reuse it, then release the corpus-scale
     # intermediates
@@ -343,7 +379,8 @@ CORPUS_FEATURES = [
 
 
 def featurize(patterns: DataFrame, sentences: DataFrame | None = None,
-              max_len: int = 6) -> DataFrame:
+              max_len: int = 6,
+              corpus_feats: DataFrame | None = None) -> DataFrame:
     """M1/M2: the engineered per-pattern feature table.
 
     Pattern-local families (frequency, length, POS-group ratios
@@ -352,7 +389,12 @@ def featurize(patterns: DataFrame, sentences: DataFrame | None = None,
     families (punctuation, completeness, statistical, outside-idf,
     independence — see :func:`corpus_features`) are joined in, giving the
     reference's full 25-multi-word / 20-unigram coverage. Without a corpus
-    the context features are zero-filled (shape-compatible)."""
+    the context features are zero-filled (shape-compatible).
+
+    ``corpus_feats``: a precomputed :func:`corpus_features` table — pass
+    it when BOTH the forest fit and the scoring pass featurize the same
+    patterns, so the corpus-scale occurrence explode runs once, not once
+    per consumer (run_pipeline does this)."""
     tags = F.split("pos_key", " ")
     toks = F.col("ngram")
     nf = F.size(F.filter(tags, lambda t: t.rlike(_NOUN))) / F.size(tags)
@@ -386,13 +428,14 @@ def featurize(patterns: DataFrame, sentences: DataFrame | None = None,
            / F.size(tags)).alias(f"f_pos_{grp.lower()}")
           for grp in POS_GROUPS],
     )
-    if sentences is None:
+    if corpus_feats is None and sentences is None:
         for c in CORPUS_FEATURES:
             default = 1.0 if c == "f_complete_sub" else 0.0
             base = base.withColumn(c, F.lit(default))
         return base
-    return base.join(corpus_features(patterns, sentences, max_len),
-                     "ngram_key", "left").fillna(
+    if corpus_feats is None:
+        corpus_feats = corpus_features(patterns, sentences, max_len)
+    return base.join(corpus_feats, "ngram_key", "left").fillna(
         {c: 0.0 for c in CORPUS_FEATURES})
 
 
@@ -407,7 +450,8 @@ FEATURES = (
 
 def fit_quality_forest(patterns: DataFrame, ent_pool: set[str],
                        rel_pool: set[str], num_trees: int = 100,
-                       seed: int = 42, sentences: DataFrame | None = None):
+                       seed: int = 42, sentences: DataFrame | None = None,
+                       prefeaturized: DataFrame | None = None):
     """M4 (random_forest.h:108-290 contract): seeded pyspark.ml
     RandomForests on DPDN-labeled, featurized patterns — TWO forests like
     the reference (predict_quality.h trains the multi-word classifier on
@@ -416,12 +460,18 @@ def fit_quality_forest(patterns: DataFrame, ent_pool: set[str],
     has no rows. 100 trees (not the reference's 1000 — its forest is
     extremely-randomized with 4 feature × 4 split candidates, so trees
     are individually much weaker). Pass the ``sentences`` table to train
-    on the full corpus-context feature families."""
+    on the full corpus-context feature families — or ``prefeaturized``
+    (an already-featurized table, shared with :func:`assign_quality_ml`)
+    so the corpus-scale feature pass runs once per pipeline."""
     from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import VectorAssembler
 
-    labeled = featurize(label_patterns(patterns, ent_pool, rel_pool),
-                        sentences=sentences).cache()
+    feats_src = (prefeaturized if prefeaturized is not None
+                 else featurize(patterns, sentences=sentences))
+    # label_patterns only adds the label column, so featurize-then-label
+    # ≡ label-then-featurize — and the former lets both consumers share
+    # one featurized table
+    labeled = label_patterns(feats_src, ent_pool, rel_pool).cache()
     asm = VectorAssembler(inputCols=FEATURES, outputCol="features")
 
     def train_on(df):
@@ -442,19 +492,23 @@ def fit_quality_forest(patterns: DataFrame, ent_pool: set[str],
 
 
 def assign_quality_ml(patterns: DataFrame, rf_model, assembler,
-                      sentences: DataFrame | None = None) -> DataFrame:
+                      sentences: DataFrame | None = None,
+                      prefeaturized: DataFrame | None = None) -> DataFrame:
     """M5 (predict_quality.h:12-82): indicator = argmax class, quality =
     probability of that class; unigram POS overrides verbatim
     (predict_quality.h:143-155). Multi-word rows score through the
     multi-word forest, unigram rows through the unigram forest (the
     reference's two-classifier split). Scoring is JVM-side (pyspark.ml
-    broadcast models), no python in the loop. ``sentences`` must match
-    what :func:`fit_quality_forest` saw (same featurization)."""
+    broadcast models), no python in the loop. ``sentences`` (or the
+    shared ``prefeaturized`` table) must match what
+    :func:`fit_quality_forest` saw (same featurization)."""
     from pyspark.ml.functions import vector_to_array
 
     if not isinstance(rf_model, dict):  # single-forest compatibility
         rf_model = {"multi": rf_model, "uni": rf_model}
-    feats = assembler.transform(featurize(patterns, sentences=sentences))
+    base = (prefeaturized if prefeaturized is not None
+            else featurize(patterns, sentences=sentences))
+    feats = assembler.transform(base)
     scored = (
         rf_model["multi"].transform(feats.filter(F.col("n") > 1))
         .unionByName(rf_model["uni"].transform(feats.filter(F.col("n") == 1)))

@@ -107,23 +107,28 @@ def mine_patterns(
         .filter(F.expr("instr(concat(' ', pos_key, ' '), ' . ') = 0"))
     )
     if pos_prune is not None:
-        # P2 (pruneByPOSTag, frequent_pattern_mining.h:222-234; opt-in —
-        # ENABLE_POS_PRUNE is off by default in the reference): a unigram
-        # is pruned when its tag is forbidden as BOTH initial and
-        # expansion; a multi-gram is pruned when its LAST tag is a
-        # forbidden expansion. Both tests are scan-side predicates on the
-        # POS key, applied before the aggregation so pruned candidates
-        # never enter the shuffle.
+        # P2 (pruneByPOSTag, frequent_pattern_mining.h:223-234; opt-in —
+        # ENABLE_POS_PRUNE is off by default in the reference). The
+        # reference prunes at every Apriori step: a unigram occurrence is
+        # dropped when its tag is forbidden as BOTH initial and expansion
+        # (:226), and an extension is dropped when the NEW token's tag is
+        # a forbidden expansion (:229, applied at frequent_pattern_mining.h
+        # :350-375 for every length). Net pattern-set semantics with a
+        # context-free tagger: a candidate survives iff its FIRST tag is
+        # not forbidden-as-both (patterns can never start at a pruned
+        # unigram occurrence) and NO tag after position 0 is a forbidden
+        # expansion. One scan-side predicate on the POS key, applied
+        # before the aggregation so pruned candidates never shuffle.
         no_initial, no_expansion = pos_prune
         both = sorted(set(no_initial) & set(no_expansion))
-        last = F.element_at(F.split("pos_key", " "), -1)
-        multi = F.col("pos_key").contains(" ")
-        prune = (
-            (~multi & (last.isin(*both) if both else F.lit(False)))
-            | (multi & (last.isin(*sorted(no_expansion))
-                        if no_expansion else F.lit(False)))
-        )
-        cand = cand.filter(~prune)
+        tags = F.split("pos_key", " ")
+        first_hit = (F.element_at(tags, 1).isin(*both)
+                     if both else F.lit(False))
+        tail_hit = (
+            F.exists(F.slice(tags, F.lit(2), F.size(tags)),
+                     lambda t: t.isin(*sorted(no_expansion)))
+            if no_expansion else F.lit(False))
+        cand = cand.filter(~(first_hit | tail_hit))
     survivors = (
         cand
         .groupBy("ngram_key")
@@ -187,7 +192,8 @@ def boost_patterns(sentences: DataFrame, max_len: int = MAX_LEN) -> DataFrame:
 
 
 def mine_patterns_boosted(
-    sentences: DataFrame, min_sup: int = MIN_SUP, max_len: int = MAX_LEN
+    sentences: DataFrame, min_sup: int = MIN_SUP, max_len: int = MAX_LEN,
+    _persisted: list | None = None, eager: bool = True,
 ) -> DataFrame:
     """M14 (frequent_pattern_mining.h:236-258 loadExternalPatterns): union
     chunk-boost patterns into the mined table. A boost pattern already
@@ -200,12 +206,29 @@ def mine_patterns_boosted(
     The mined table feeds BOTH the union and the anti-join — without
     materialization the full corpus explode-agg (the pipeline's most
     expensive JVM stage) would execute twice, so the min_sup survivors
-    (bounded, ~100k rows at 1M docs) are persisted and forced once."""
+    (bounded, ~100k rows at 1M docs) are persisted and forced once.
+    Callers that want to release that persist when the downstream stage
+    has materialized pass ``_persisted`` — the cached survivor table is
+    appended to it (run_pipeline unpersists after the patterns
+    checkpoint; ad-hoc callers may let it die with the session).
+
+    ``is_boost`` marks the externally-injected rows: the reference
+    zero-fills every occurrence-derived feature for external patterns
+    (id >= id2ends.size() guards in extractStatistical /
+    extractPunctuation, feature_extraction.h:210,255,394-400), so the
+    classifier needs to know which rows those are.
+
+    ``eager=False`` skips the persist + force — for callers that only
+    need the PLAN (e.g. run_pipeline deriving the checkpoint schema on a
+    resume hit, where the result is never executed)."""
     from pyspark import StorageLevel
 
-    mined = mine_patterns(sentences, min_sup, max_len).persist(
-        StorageLevel.MEMORY_AND_DISK)
-    mined.count()
+    mined = mine_patterns(sentences, min_sup, max_len)
+    if eager:
+        mined = mined.persist(StorageLevel.MEMORY_AND_DISK)
+        mined.count()
+        if _persisted is not None:
+            _persisted.append(mined)
     extra = (
         boost_patterns(sentences, max_len)
         .join(mined.select("ngram"), "ngram", "left_anti")
@@ -217,7 +240,8 @@ def mine_patterns_boosted(
             F.array_join("ngram", " ").alias("ngram_key"),
         )
     )
-    return mined.unionByName(extra)
+    return (mined.withColumn("is_boost", F.lit(False))
+            .unionByName(extra.withColumn("is_boost", F.lit(True))))
 
 
 def unigram_counts(sentences: DataFrame) -> DataFrame:

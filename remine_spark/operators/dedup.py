@@ -186,31 +186,39 @@ def dedup_minhash_jaccard(spark, sf_dir):
     )
 
 
-_DUCK_SIMHASH = f"""
-    tok AS (SELECT doc_id, tok, {h32_duck("tok")} AS h
+def _duck_simhash(nbits: int = 32, hexchars: int = 8) -> str:
+    """Width-parameterized SimHash CTE: token hash = first ``hexchars`` hex
+    chars of md5 (≤15 ⇒ ≤60 bits, always positive in a signed BIGINT)."""
+    return f"""
+    tok AS (SELECT doc_id, tok,
+                   CAST('0x' || substr(md5(tok),1,{hexchars}) AS BIGINT) AS h
             FROM documents,
                  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS u(tok)),
     bits AS (SELECT doc_id, b,
                     CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
                          THEN (CAST(1 AS BIGINT) << b) ELSE 0 END AS bitval
-             FROM tok, unnest(range(0, 32)) AS u2(b)
+             FROM tok, unnest(range(0, {nbits})) AS u2(b)
              GROUP BY doc_id, b),
     sh AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
            FROM bits GROUP BY doc_id)
 """
 
 
-@query("dedup_simhash", f"WITH {_DUCK_SIMHASH} SELECT doc_id, simhash FROM sh")
-def dedup_simhash(spark, sf_dir):
-    """32-bit SimHash per document (token-multiplicity ±1 votes per bit).
+_DUCK_SIMHASH = _duck_simhash()
 
-    Formulated as explode → distributed groupBy (doc_id, bit) → sum, i.e.
-    partial aggregation map-side; no per-row Python. At 100 TB the shuffle
-    key (doc_id, b) is perfectly uniform."""
+
+def simhash_df(spark, sf_dir, nbits: int = 32, hexchars: int = 8):
+    """Width-parameterized SimHash per document (token-multiplicity ±1
+    votes per bit). Formulated as explode → distributed groupBy
+    (doc_id, bit) → sum, i.e. partial aggregation map-side; no per-row
+    Python. At 100 TB the shuffle key (doc_id, b) is perfectly uniform."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("tok"))
-    tok = tok.withColumn("h", F.expr(h32_spark("tok")))
-    bits = tok.select("doc_id", "h", F.explode(F.expr("sequence(0, 31)")).alias("b"))
+    tok = tok.withColumn(
+        "h", F.expr(f"cast(conv(substr(md5(tok),1,{hexchars}),16,10) "
+                    "as bigint)"))
+    bits = tok.select("doc_id", "h",
+                      F.explode(F.expr(f"sequence(0, {nbits - 1})")).alias("b"))
     bitvals = bits.groupBy("doc_id", "b").agg(
         F.expr(
             "case when sum(case when (shiftright(h, cast(b as int)) & 1) = 1 "
@@ -222,32 +230,81 @@ def dedup_simhash(spark, sf_dir):
         F.sum("bitval").cast("bigint").alias("simhash"))
 
 
-@query("dedup_simhash_pairs", f"""
-    WITH {_DUCK_SIMHASH},
-    bands AS (SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS bv
-              FROM sh, unnest(range(0, 4)) AS u3(b))
-    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-           bit_count(xor(a.simhash, c.simhash)) AS hamming
-    FROM bands a JOIN bands c
-      ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
-    WHERE bit_count(xor(a.simhash, c.simhash)) <= {HAMMING_MAX}
-""")
-def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: 4 bands of 8 bits each → band-equality
-    candidates → Hamming-distance verify (bit_count of XOR) ≤ 6."""
-    sh = dedup_simhash(spark, sf_dir)
+@query("dedup_simhash", f"WITH {_DUCK_SIMHASH} SELECT doc_id, simhash FROM sh")
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprint table (see :func:`simhash_df`)."""
+    return simhash_df(spark, sf_dir, nbits=32, hexchars=8)
+
+
+# Pair-generation gate: the band key must carry ~log₂(N_docs) bits or the
+# band self-join degenerates toward N²/2^bits candidate pairs. Defaults:
+# a 60-bit fingerprint (15 md5 hex chars — the widest that stays positive
+# in a signed BIGINT on both engines) split into 4 bands × 15 bits
+# (32k-value band keys). All three are parameters; the oracle SQL is
+# generated from the same constants so the two engines cannot drift.
+SIM_BITS = 60
+SIM_BANDS = 4
+SIM_BAND_BITS = SIM_BITS // SIM_BANDS  # 15
+_SIM_HEX = SIM_BITS // 4  # 15 md5 hex chars
+
+
+def simhash_band_candidates(spark, sf_dir, nbits: int = SIM_BITS,
+                            n_bands: int = SIM_BANDS):
+    """Band-collision candidate pairs (pre-Hamming-verify), parameterized
+    by fingerprint width / band count. Returns distinct
+    (doc_a, doc_b, simhash_a, simhash_b)."""
+    bb = nbits // n_bands
+    mask = (1 << bb) - 1
+    sh = simhash_df(spark, sf_dir, nbits=nbits, hexchars=nbits // 4)
     bands = sh.select(
         "doc_id", "simhash",
-        F.explode(F.expr("sequence(0, 3)")).alias("b"),
-    ).withColumn("bv", F.expr("shiftright(simhash, cast(b*8 as int)) & 255"))
+        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("b"),
+    ).withColumn("bv", F.expr(f"shiftright(simhash, cast(b*{bb} as int)) "
+                              f"& {mask}"))
     a = bands.alias("a")
     c = bands.select(F.col("doc_id").alias("doc_b"),
                      F.col("simhash").alias("sim_b"), "b", "bv").alias("c")
     return (
         a.join(c, (F.expr("a.b = c.b and a.bv = c.bv")
                    & (F.col("a.doc_id") < F.col("doc_b"))))
-        .withColumn("hamming", F.expr("bit_count(a.simhash ^ sim_b)"))
-        .filter(F.col("hamming") <= HAMMING_MAX)
-        .select(F.col("a.doc_id").alias("doc_a"), "doc_b", "hamming")
+        .select(F.col("a.doc_id").alias("doc_a"), "doc_b",
+                F.col("a.simhash").alias("sim_a"), "sim_b")
+        .distinct()
+    )
+
+
+def simhash_pairs_sql(nbits: int = SIM_BITS, n_bands: int = SIM_BANDS,
+                      hamming_max: int = HAMMING_MAX) -> str:
+    """DuckDB oracle for :func:`dedup_simhash_pairs`, generated from the
+    same (bits, bands, hamming) constants as the Spark plan."""
+    bb = nbits // n_bands
+    mask = (1 << bb) - 1
+    return f"""
+    WITH {_duck_simhash(nbits, nbits // 4)},
+    bands AS (SELECT doc_id, simhash, b, (simhash >> (b*{bb})) & {mask} AS bv
+              FROM sh, unnest(range(0, {n_bands})) AS u3(b))
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           bit_count(xor(a.simhash, c.simhash)) AS hamming
+    FROM bands a JOIN bands c
+      ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.simhash, c.simhash)) <= {hamming_max}
+"""
+
+
+@query("dedup_simhash_pairs", simhash_pairs_sql())
+def dedup_simhash_pairs(spark, sf_dir, nbits: int = SIM_BITS,
+                        n_bands: int = SIM_BANDS,
+                        hamming_max: int = HAMMING_MAX):
+    """SimHash near-dup pairs: 60-bit fingerprint, 4 bands × 15 bits →
+    band-equality candidates → Hamming-distance verify (bit_count of XOR)
+    ≤ 6. Width/band count are parameters sized ~log₂(N) (tests assert
+    candidate pairs shrink ~2^Δ when band bits grow); the r2 8-bit bands
+    capped the candidate set at ~N²/256 — a constant that did not survive
+    a 100× corpus."""
+    return (
+        simhash_band_candidates(spark, sf_dir, nbits, n_bands)
+        .withColumn("hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("doc_a", "doc_b", "hamming")
         .distinct()
     )

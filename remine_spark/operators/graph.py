@@ -116,7 +116,9 @@ def kg_connected_components(spark, sf_dir):
            .distinct().cache())
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "lbl", F.col("node")).cache()
+    rounds = 0
     while True:
+        rounds += 1
         nb_min = (
             und.join(labels, und.b == labels.node)
             .groupBy(F.col("a").alias("node"))
@@ -136,6 +138,15 @@ def kg_connected_components(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
+        if rounds % 5 == 0:
+            # truncate lineage: each round otherwise nests the previous
+            # round's plan, so analysis time / stack depth grow with graph
+            # diameter even though the DATA is fixpoint-bounded. (On a
+            # cluster with lineage-reliability requirements swap for
+            # checkpoint() on a fault-tolerant dir — same call shape.)
+            prev = labels
+            labels = labels.localCheckpoint(eager=True)
+            prev.unpersist()
     und.unpersist()
     return labels.select("node", F.col("lbl").alias("comp"))
 
@@ -170,7 +181,7 @@ def kg_pagerank(spark, sf_dir, iters: int = 10, damping: float = 0.85):
     ranks = deg.select("node", F.lit(1.0).alias("rank"))
     out_edges = und.join(deg, und.a == deg.node).select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "deg").cache()
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             out_edges.join(ranks, out_edges.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
@@ -181,6 +192,10 @@ def kg_pagerank(spark, sf_dir, iters: int = 10, damping: float = 0.85):
             "node",
             ((1 - damping) + damping * F.coalesce("c", F.lit(0.0)))
             .alias("rank"))
+        if (i + 1) % 5 == 0 and (i + 1) < iters:
+            # bound the nested-plan depth at ≤5 iterations regardless of
+            # the iteration count (see kg_connected_components note)
+            ranks = ranks.localCheckpoint(eager=True)
     out_edges.unpersist()
     deg.unpersist()
     return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -48,13 +48,23 @@ def hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
     ]
 
 
+def _w_spark(planes: list[list[float]]) -> str:
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{w}D" for w in row) + ")"
+        for row in planes) + ")"
+
+
+def _w_duck(planes: list[list[float]]) -> str:
+    return "[" + ",".join(
+        "[" + ",".join(f"CAST({w} AS DOUBLE)" for w in row) + "]"
+        for row in planes) + "]"
+
+
 _PLANES = hyperplanes()
 
 # (plane p, weight array) rows inlined as literals on both sides.
-_W_SPARK = "array(" + ",".join(
-    "array(" + ",".join(f"{w}D" for w in row) + ")" for row in _PLANES) + ")"
-_W_DUCK = "[" + ",".join(
-    "[" + ",".join(f"CAST({w} AS DOUBLE)" for w in row) + "]" for row in _PLANES) + "]"
+_W_SPARK = _w_spark(_PLANES)
+_W_DUCK = _w_duck(_PLANES)
 
 _V_SPARK = "transform(embedding, x -> cast(x as double))"
 _V_DUCK = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
@@ -78,9 +88,12 @@ _DOT_DUCK = (f"round(list_reduce(list_transform(range(1, {DIM + 1}), "
 """)
 def ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k: broadcast the (small) query set against the
-    full vector table; vectors are unit-norm so dot = cosine. The window is
-    partitioned by q_id (bounded cardinality) — at scale replace row_number
-    with a partial top-k agg (`F.max_by`/TakeOrdered) to avoid a full sort."""
+    full vector table; vectors are unit-norm so dot = cosine. The
+    rank-filter over the q_id window compiles to a PARTIAL top-k: Catalyst's
+    InferWindowGroupLimit inserts `WindowGroupLimit(..., row_number, k,
+    Partial)` below the exchange, so each map task forwards at most k rows
+    per query — the full candidate set never crosses the shuffle
+    (asserted in tests/test_plan_shapes.py)."""
     emb = table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
     q = v.filter("vec_id < 10").select(
@@ -166,15 +179,88 @@ def ann_lsh_topk(spark, sf_dir):
         F.col("rnk") <= TOPK_LSH)
 
 
-N_BANDS = 2
-BAND_BITS = N_PLANES // N_BANDS  # 2 bands × 4 sign bits
+# --- embedding near-dup: scale-parameterized LSH band gate -----------------
+# Band width is the quantity that must GROW with corpus size: with B bits
+# per band, random (non-dup) collisions per band are ~N²/2^B, so B needs to
+# track ~log₂(N) for the candidate set to stay linear. These are the
+# defaults for the catalog fixture; callers pass their own (planes, bands)
+# at scale — the DuckDB oracle below is generated from the same constants,
+# so Spark and oracle can never drift.
+ND_PLANES = 32
+ND_BANDS = 4
+ND_BAND_BITS = ND_PLANES // ND_BANDS  # 4 bands × 8 sign bits
 
 
-@query("embedding_near_dup", f"""
-    WITH {_DUCK_BUCKETS},
-    bands AS (SELECT vec_id, 0 AS band_id, bucket // 16 AS bv FROM bk
-              UNION ALL
-              SELECT vec_id, 1 AS band_id, bucket % 16 AS bv FROM bk),
+def _bucket_spark(n_planes: int) -> str:
+    w = _w_spark(hyperplanes(n_planes))
+    return (
+        f"aggregate(transform(sequence(0, {n_planes - 1}), p -> case when "
+        f"aggregate(zip_with(element_at({w}, cast(p+1 as int)), v, "
+        "(x, y) -> x*y), 0.0D, (acc, x2) -> acc + x2) > 0 "
+        f"then shiftleft(cast(1 as bigint), cast({n_planes - 1} - p as int)) "
+        "else cast(0 as bigint) end), cast(0 as bigint), (a2, b2) -> a2 + b2)"
+    )
+
+
+def _duck_buckets_n(n_planes: int) -> str:
+    w = _w_duck(hyperplanes(n_planes))
+    return f"""
+    v AS (SELECT vec_id, {_V_DUCK} AS v FROM embeddings),
+    bits AS (SELECT vec_id, p,
+                    CASE WHEN list_reduce(list_transform(range(1, {DIM + 1}),
+                             i -> ({w})[p+1][i] * v[i]),
+                             (acc, x2) -> acc + x2) > 0
+                         THEN (CAST(1 AS BIGINT) << ({n_planes - 1} - p))
+                         ELSE 0 END AS bv
+             FROM v, unnest(range(0, {n_planes})) AS u(p)),
+    bk AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket
+           FROM bits GROUP BY vec_id)
+"""
+
+
+def near_dup_candidates(spark, sf_dir, n_planes: int = ND_PLANES,
+                        n_bands: int = ND_BANDS):
+    """LSH-banded candidate pairs (pre-verify): the n_planes sign bucket
+    splits into n_bands bands; pairs colliding in ANY band become
+    candidates via an equi-join on (band_id, band_value) — never an
+    all-pairs product. Returns (vec_a, vec_b, qv, v) distinct pairs."""
+    bb = n_planes // n_bands
+    mask = (1 << bb) - 1
+    emb = table(spark, sf_dir, "embeddings")
+    vb_df = (emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
+             .withColumn("bucket", F.expr(_bucket_spark(n_planes))))
+    bands = vb_df.select(
+        "vec_id", "v", "bucket",
+        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band_id"),
+    ).withColumn(
+        "bv",
+        F.expr(f"shiftright(bucket, cast(({n_bands - 1} - band_id) * {bb} "
+               f"as int)) & {mask}")).drop("bucket")
+    a = bands.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"),
+                     "band_id", "bv")
+    b = bands.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v"),
+                     "band_id", "bv")
+    return (
+        a.join(b, ["band_id", "bv"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def near_dup_sql(n_planes: int = ND_PLANES, n_bands: int = ND_BANDS,
+                 tau: float = NEAR_DUP_TAU) -> str:
+    """DuckDB oracle for :func:`embedding_near_dup`, generated from the
+    SAME (planes, bands, tau) constants as the Spark plan."""
+    bb = n_planes // n_bands
+    mask = (1 << bb) - 1
+    band_rows = "\n              UNION ALL\n".join(
+        f"              SELECT vec_id, {b} AS band_id, "
+        f"(bucket >> {(n_bands - 1 - b) * bb}) & {mask} AS bv FROM bk"
+        for b in range(n_bands))
+    return f"""
+    WITH {_duck_buckets_n(n_planes)},
+    bands AS (
+{band_rows}),
     cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
              FROM bands a JOIN bands b
                ON a.band_id = b.band_id AND a.bv = b.bv
@@ -186,40 +272,28 @@ BAND_BITS = N_PLANES // N_BANDS  # 2 bands × 4 sign bits
     JOIN v va ON va.vec_id = vec_a
     JOIN v vb ON vb.vec_id = vec_b
     WHERE round(list_reduce(list_transform(range(1, {DIM + 1}),
-          i -> va.v[i] * vb.v[i]), (acc, x2) -> acc + x2), 6) >= {NEAR_DUP_TAU}
-""")
-def embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-dup (cosine ≥ 0.35), LSH-gated: the 8-plane
-    sign bucket splits into 2 bands of 4 bits; pairs colliding in EITHER
-    band become candidates (equi-join on (band_id, band_value) — never an
-    all-pairs product), then the exact cosine verifies — the same
-    two-phase candidates→verify shape as dedup_minhash_jaccard. The DuckDB
-    oracle replicates the gate, so the semantics are the operator's
-    declared LSH-recall contract, not a silent approximation. At 10^9
-    vectors the band join shuffles on a uniform 16-value band key per band;
-    verify cost is bounded by collisions, never N^2."""
-    emb = table(spark, sf_dir, "embeddings")
-    vb_df = (emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
-             .withColumn("bucket", F.expr(_BUCKET_SPARK)))
-    bands = vb_df.select(
-        "vec_id", "v",
-        F.explode(F.array(
-            F.struct(F.lit(0).alias("band_id"),
-                     (F.col("bucket") / 16).cast("bigint").alias("bv")),
-            F.struct(F.lit(1).alias("band_id"),
-                     F.pmod(F.col("bucket"), F.lit(16)).alias("bv")),
-        )).alias("band")
-    ).select("vec_id", "v", "band.band_id", "band.bv")
-    a = bands.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"),
-                     "band_id", "bv")
-    b = bands.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v"),
-                     "band_id", "bv")
+          i -> va.v[i] * vb.v[i]), (acc, x2) -> acc + x2), 6) >= {tau}
+"""
+
+
+@query("embedding_near_dup", near_dup_sql())
+def embedding_near_dup(spark, sf_dir, n_planes: int = ND_PLANES,
+                       n_bands: int = ND_BANDS, tau: float = NEAR_DUP_TAU):
+    """Embedding-cosine near-dup (cosine ≥ tau), LSH-gated: n_planes sign
+    bits split into n_bands bands (default 4×8 — band bits sized so random
+    collisions stay ~N²/2^8 per band; grow them ~log₂(N) at larger N);
+    pairs colliding in ANY band become candidates, then the exact cosine
+    verifies — the same two-phase candidates→verify shape as
+    dedup_minhash_jaccard. The DuckDB oracle replicates the gate from the
+    same constants, so the semantics are the operator's declared
+    LSH-recall contract, not a silent approximation. At 10^9 vectors the
+    band join shuffles on a uniform 2^8-value band key per band; verify
+    cost is bounded by collisions, never N² (tests assert the plan is
+    cartesian-free and that candidates shrink ~2^Δ when band bits grow)."""
     return (
-        a.join(b, ["band_id", "bv"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
+        near_dup_candidates(spark, sf_dir, n_planes, n_bands)
         .select("vec_a", "vec_b", F.expr(_DOT_SPARK).alias("cos"))
-        .filter(F.col("cos") >= NEAR_DUP_TAU)
+        .filter(F.col("cos") >= tau)
     )
 
 

@@ -156,14 +156,28 @@ def _guard_resume_input(pages: DataFrame, workdir: str, resume: bool) -> None:
     """Refuse to resume a workdir whose checkpoints came from DIFFERENT
     input: stale-workdir resume silently yields triples for a corpus the
     caller never passed (observed in practice with a shared /tmp workdir).
-    The fingerprint is driver-side only — the sorted input file list plus
-    the schema — no data scan, so it costs nothing at 100 TB. In-memory
-    inputs (no backing files) fingerprint as their schema alone."""
+    For file-backed inputs the fingerprint is driver-side only — the
+    sorted input file list plus the schema — no data scan, so it costs
+    nothing at 100 TB. In-memory inputs (inputFiles() == []) have no file
+    identity, and schema alone would let a DIFFERENT in-memory corpus of
+    the same shape silently reuse stale checkpoints — the exact failure
+    the guard exists to stop — so they additionally mix in a cheap
+    content probe: row count + order-independent bit_xor of
+    xxhash64(url, text) — text included because synthetic/profiling
+    corpora often share a url scheme across variants (one aggregate job
+    over a corpus that is by definition already in memory, never a
+    100-TB scan)."""
     import hashlib
 
     files = sorted(pages.inputFiles())
+    content = ""
+    if not files:
+        probe = pages.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(url, text))").alias("h")).first()
+        content = f"\0inmem:{probe['n']}:{probe['h']}"
     fp = hashlib.md5(
-        ("\n".join(files) + "\0" + pages.schema.json()).encode()
+        ("\n".join(files) + "\0" + pages.schema.json() + content).encode()
     ).hexdigest()
     marker = os.path.join(workdir, "input_fingerprint.json")
     prior = fsio.read_text(marker)
@@ -210,18 +224,52 @@ def run_pipeline(
     _mark("sentences")
 
     # 2. patterns (A1/A2 + M14 chunk boost + M3/M5 quality)
-    raw_patterns = mining.mine_patterns_boosted(sentences, min_sup, max_len)
-    if quality_pools is not None:
-        from remine_spark import classifier
+    pat_path = os.path.join(workdir, "patterns")
+    if resume and _exists(pat_path):
+        # resume hit: derive the checkpoint schema from the (never
+        # executed) plan and read — skipping the eager survivor persist
+        # and feature passes that used to run even when their result was
+        # discarded. Both quality sources emit the same net schema: the
+        # raw pattern columns + (indicator, quality).
+        from pyspark.sql import types as T
 
-        rf, asm = classifier.fit_quality_forest(
-            raw_patterns, quality_pools[0], quality_pools[1],
-            sentences=sentences)
-        scored_patterns = classifier.assign_quality_ml(
-            raw_patterns, rf, asm, sentences=sentences)
+        raw_schema = mining.mine_patterns_boosted(
+            sentences, min_sup, max_len, eager=False).schema
+        pat_schema = T.StructType(
+            list(raw_schema.fields)
+            + [T.StructField("indicator", T.StringType()),
+               T.StructField("quality", T.DoubleType())])
+        patterns_df = _read_wide(spark, pat_path, schema=pat_schema)
     else:
-        scored_patterns = model_mod.assign_quality(raw_patterns)
-    patterns_df = checkpoint(spark, workdir, "patterns", scored_patterns, resume)
+        stage_caches: list[DataFrame] = []
+        raw_patterns = mining.mine_patterns_boosted(
+            sentences, min_sup, max_len, _persisted=stage_caches)
+        if quality_pools is not None:
+            from remine_spark import classifier
+
+            # ONE corpus-context feature pass (occurrence explode +
+            # semi-join + outside-idf window) shared by the forest fit AND
+            # the scoring pass — each used to featurize independently,
+            # doubling the dominant cost of this stage
+            cfeats = classifier.corpus_features(
+                raw_patterns, sentences, max_len)
+            stage_caches.append(cfeats)
+            feats = classifier.featurize(raw_patterns, corpus_feats=cfeats)
+            rf, asm = classifier.fit_quality_forest(
+                raw_patterns, quality_pools[0], quality_pools[1],
+                prefeaturized=feats)
+            scored_patterns = classifier.assign_quality_ml(
+                raw_patterns, rf, asm, prefeaturized=feats)
+        else:
+            scored_patterns = model_mod.assign_quality(raw_patterns)
+        patterns_df = checkpoint(
+            spark, workdir, "patterns", scored_patterns, resume)
+        # the checkpoint has materialized everything derived from the
+        # mined survivors and the corpus feature table — release their
+        # block-manager storage (they otherwise accumulate across runs in
+        # one session)
+        for df in stage_caches:
+            df.unpersist()
     _mark("patterns")
 
     # 3. ReMine-Local fit (A6/A7/A8 + M9)

@@ -82,3 +82,46 @@ def test_pos_key_expr_matches_python_tagger(spark):
     for k in keys:
         want = " ".join(nlp.pos_tag(k.split(" ")))
         assert got[k] == want, (k, got[k], want)
+
+
+def test_boost_rows_zero_fill_corpus_features(spark):
+    """The reference zero-fills every occurrence-derived feature for
+    external (boost) patterns — id >= id2ends.size() guards in
+    extractPunctuation (feature_extraction.h:210) / extractStatistical
+    (:255) and the explicit completeness zero-fill (:394-400) — even
+    though boost surfaces DO occur in the corpus (below min_sup). Only
+    the stopword-family avg-idf stays live (extractStopwords has no
+    guard)."""
+    from remine_spark import classifier
+
+    rows = []
+    # quoted boost chunk occurrences: would yield f_punc_quote > 0 and a
+    # live super-pattern if the zero-fill gate were missing
+    for i in range(3):
+        rows.append((i, 0, ['"', "stark", "wayne", '"', "visited", "."],
+                     ['"', "NNP", "NNP", '"', "VBD", "."]))
+    for i in range(3, 18):
+        rows.append((i, 0, ["acme", "acquired", "globex", "."],
+                     ["NNP", "VBD", "NNP", "."]))
+    sents = (spark.createDataFrame(
+        rows, "doc_id long, sent_id int, tokens array<string>, "
+              "pos array<string>")
+        .withColumn("url", F.concat(F.lit("u"), F.col("doc_id")))
+        .withColumn("case_mask", F.expr("transform(tokens, t -> 0)"))
+        .withColumn("dep_head", F.expr("transform(tokens, t -> 0)")))
+    pats = mining.mine_patterns_boosted(sents, min_sup=10, max_len=6)
+    feats = classifier.featurize(pats, sentences=sents)
+    by_key = {r["ngram_key"]: r for r in feats.collect()}
+
+    boost = by_key["stark wayne"]
+    assert boost["is_boost"] is True
+    for c in ("f_punc_quote", "f_punc_dash", "f_punc_paren", "f_first_cap",
+              "f_all_cap", "f_complete_sub", "f_complete_super",
+              "f_stat_f1", "f_stat_f2", "f_stat_f4", "f_outside_idf"):
+        assert boost[c] == 0.0, (c, boost[c])
+    # stopword-family avg idf stays live for external patterns
+    assert boost["f_avg_idf"] > 0.0
+    # mined rows keep live occurrence features (unigram sub ratio = 1)
+    mined = by_key["acme"]
+    assert mined["is_boost"] is False
+    assert mined["f_complete_sub"] == 1.0

@@ -32,3 +32,27 @@ def test_s1_zip_has_no_single_partition_sort(spark):
     plan = plan_of(relational.s1_zip_scan(spark, SF_DIR))
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning" in plan.lower()
+
+
+def test_ann_cosine_topk_partial_window_group_limit(spark):
+    """The rank-filter must compile to a PARTIAL WindowGroupLimit below
+    the exchange (Catalyst InferWindowGroupLimit): each map task forwards
+    ≤ k rows per query, so the full candidate set never shuffles."""
+    plan = plan_of(similarity.ann_cosine_topk(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_graph_iterative_loops_bound_plan_depth(spark):
+    """Lineage truncation (localCheckpoint every 5 rounds) keeps the
+    analyzed-plan size roughly constant in the iteration count — without
+    it each PageRank round nests the previous round's plan."""
+    from remine_spark.operators import graph
+
+    small = graph.kg_pagerank(spark, SF_DIR, iters=6)
+    big = graph.kg_pagerank(spark, SF_DIR, iters=16)
+    size_small = len(small._jdf.queryExecution().analyzed().toString())
+    size_big = len(big._jdf.queryExecution().analyzed().toString())
+    # 16 iters without truncation would be ~3x the 6-iter plan; with a
+    # checkpoint every 5 rounds both tails hold ≤ 5 nested rounds
+    assert size_big < 2 * size_small

@@ -27,3 +27,23 @@ def test_mismatched_input_resume_refused(spark, tmp_path):
     out = pipeline.run_pipeline(spark, spark.read.parquet(b), wd,
                                 inner_iters=2, transe_epochs=2, resume=False)
     assert out["triples"].count() > 0
+
+
+def test_inmemory_input_mismatch_refused(spark, tmp_path):
+    """In-memory inputs (inputFiles() == []) have no file identity; the
+    guard must still catch a DIFFERENT in-memory corpus of the SAME
+    schema (content probe: count + bit_xor of xxhash64(url))."""
+    wd = str(tmp_path / "wd_mem")
+    pages_a = synth.pages_df(spark, 40, seed=1, num_partitions=2)
+    pages_b = synth.pages_df(spark, 40, seed=2, num_partitions=2)
+    assert pages_a.inputFiles() == []
+
+    pipeline.run_pipeline(spark, pages_a, wd,
+                          inner_iters=2, transe_epochs=2, resume=True)
+    # same in-memory corpus resumes fine
+    pipeline.run_pipeline(spark, pages_a, wd,
+                          inner_iters=2, transe_epochs=2, resume=True)
+    # same schema, same row count, different content: must be refused
+    with pytest.raises(ValueError, match="different input"):
+        pipeline.run_pipeline(spark, pages_b, wd,
+                              inner_iters=2, transe_epochs=2, resume=True)
