@@ -16,6 +16,16 @@ from remine_spark.catalog import query, table
 _STOPS = "('the','a','of','in','and','is','to')"
 
 
+def _ordinal_ranked(df, key: str, n_parts: int = 8):
+    """The lazy pre-materialization fragment of :func:`_ordinal` — split
+    out so plan tests can assert its shape (range partition + per-pid
+    local rank, never a single-partition global sort)."""
+    d = (df.repartitionByRange(n_parts, F.col(key))
+         .withColumn("_pid", F.spark_partition_id()))
+    w = Window.partitionBy("_pid").orderBy(key)
+    return d.withColumn("_local_rn", F.row_number().over(w))
+
+
 def _ordinal(df, key: str, n_parts: int = 8):
     """Global 1-based ordinal by `key` WITHOUT a single-partition sort —
     the zipWithIndex pattern in pure DataFrame ops: range-partition on the
@@ -23,9 +33,6 @@ def _ordinal(df, key: str, n_parts: int = 8):
     (Window.partitionBy(pid) — parallel, no global exchange), then add the
     per-partition cumulative offsets (one tiny bounded-by-#partitions
     aggregate, broadcast back). Scales to any row count."""
-    d = (df.repartitionByRange(n_parts, F.col(key))
-         .withColumn("_pid", F.spark_partition_id()))
-    w = Window.partitionBy("_pid").orderBy(key)
     # materialize BEFORE the counts action: RangePartitioner samples
     # boundaries per execution (seeded by rdd id), so an unmaterialized
     # plan could place rows differently in the counts job vs the final
@@ -34,7 +41,7 @@ def _ordinal(df, key: str, n_parts: int = 8):
     # DataFrame is garbage-collected — a plain DataFrame persist lives in
     # the CacheManager until an explicit unpersist that no caller of a
     # lazily-returned result can safely issue.
-    d = d.withColumn("_local_rn", F.row_number().over(w)).localCheckpoint()
+    d = _ordinal_ranked(df, key, n_parts).localCheckpoint()
     counts = sorted((r["_pid"], r["cnt"]) for r in
                     d.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt"))
                     .collect())

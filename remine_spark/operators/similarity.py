@@ -119,18 +119,30 @@ _BUCKET_SPARK = (
     "else cast(0 as bigint) end), cast(0 as bigint), (a2, b2) -> a2 + b2)"
 )
 
-_DUCK_BUCKETS = f"""
+def _duck_buckets_n(n_planes: int) -> str:
+    """Bucket CTE with the hyperplane weights HOISTED into a VALUES
+    relation — inlining the (planes × dim) literal array inside the
+    per-element lambda makes DuckDB rebuild it per multiply, which turned
+    the 32-plane oracle into minutes of constant re-construction."""
+    rows = ",\n                 ".join(
+        f"({p}, [" + ",".join(f"CAST({w} AS DOUBLE)" for w in row) + "])"
+        for p, row in enumerate(hyperplanes(n_planes)))
+    return f"""
+    wt(p, w) AS (VALUES {rows}),
     v AS (SELECT vec_id, {_V_DUCK} AS v FROM embeddings),
     bits AS (SELECT vec_id, p,
                     CASE WHEN list_reduce(list_transform(range(1, {DIM + 1}),
-                             i -> ({_W_DUCK})[p+1][i] * v[i]),
+                             i -> w[i] * v[i]),
                              (acc, x2) -> acc + x2) > 0
-                         THEN (CAST(1 AS BIGINT) << ({N_PLANES - 1} - p))
+                         THEN (CAST(1 AS BIGINT) << ({n_planes - 1} - p))
                          ELSE 0 END AS bv
-             FROM v, unnest(range(0, {N_PLANES})) AS u(p)),
+             FROM v CROSS JOIN wt),
     bk AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket
            FROM bits GROUP BY vec_id)
 """
+
+
+_DUCK_BUCKETS = _duck_buckets_n(N_PLANES)
 
 
 @query("ann_lsh_buckets", f"""
@@ -202,55 +214,6 @@ def _bucket_spark(n_planes: int) -> str:
         f"then shiftleft(cast(1 as bigint), cast({n_planes - 1} - p as int)) "
         "else cast(0 as bigint) end), cast(0 as bigint), (a2, b2) -> a2 + b2)"
     )
-
-
-def _duck_buckets_n(n_planes: int) -> str:
-    """Bucket CTE with the hyperplane weights HOISTED into a VALUES
-    relation — inlining the (planes × dim) literal array inside the
-    per-element lambda makes DuckDB rebuild it per multiply, which turned
-    the 32-plane oracle into minutes of constant re-construction."""
-    rows = ",\n                 ".join(
-        f"({p}, [" + ",".join(f"CAST({w} AS DOUBLE)" for w in row) + "])"
-        for p, row in enumerate(hyperplanes(n_planes)))
-    return f"""
-    wt(p, w) AS (VALUES {rows}),
-    v AS (SELECT vec_id, {_V_DUCK} AS v FROM embeddings),
-    bits AS (SELECT vec_id, p,
-                    CASE WHEN list_reduce(list_transform(range(1, {DIM + 1}),
-                             i -> w[i] * v[i]),
-                             (acc, x2) -> acc + x2) > 0
-                         THEN (CAST(1 AS BIGINT) << ({n_planes - 1} - p))
-                         ELSE 0 END AS bv
-             FROM v CROSS JOIN wt),
-    bk AS (SELECT vec_id, CAST(sum(bv) AS BIGINT) AS bucket
-           FROM bits GROUP BY vec_id)
-"""
-
-
-def _bucket_udf(n_planes: int):
-    """Arrow-vectorized sign-bucket kernel, bit-identical to the HOF fold:
-    per plane, products are IEEE-exact elementwise multiplies and the dot
-    is np.cumsum's last element — cumsum is a strict left-to-right prefix
-    sum, i.e. the same ((0+x1)+x2)+… rounding chain as the Spark
-    `aggregate` fold and the DuckDB `list_reduce`, so bucket bits can
-    never flip between engines. ~100× the interpreted HOF throughput at
-    16 planes × 64 dims."""
-    from pyspark.sql import types as T
-
-    W = np.asarray(hyperplanes(n_planes), dtype=np.float64)  # (P, DIM)
-
-    @F.pandas_udf(T.LongType())
-    def bucket(v: pd.Series) -> pd.Series:
-        if v.empty:
-            return pd.Series([], dtype="int64")
-        X = np.stack(v.to_numpy())                      # (N, DIM)
-        out = np.zeros(X.shape[0], dtype=np.int64)
-        for p in range(W.shape[0]):
-            dots = np.cumsum(X * W[p], axis=1)[:, -1]
-            out |= (dots > 0).astype(np.int64) << (W.shape[0] - 1 - p)
-        return pd.Series(out)
-
-    return bucket
 
 
 def near_dup_candidates(spark, sf_dir, n_planes: int = ND_PLANES,

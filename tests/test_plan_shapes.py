@@ -31,7 +31,15 @@ def test_a5_band_join_is_equi_join(spark):
 def test_s1_zip_has_no_single_partition_sort(spark):
     plan = plan_of(relational.s1_zip_scan(spark, SF_DIR))
     assert "Exchange SinglePartition" not in plan
-    assert "rangepartitioning" in plan.lower()
+    # the ordinal's partition/rank fragment materializes via
+    # localCheckpoint, so the final plan only shows the checkpointed scan;
+    # assert the range-partition shape on the lazy fragment itself
+    from remine_spark.catalog import table
+
+    frag = plan_of(relational._ordinal_ranked(
+        table(spark, SF_DIR, "documents").select("doc_id"), "doc_id"))
+    assert "rangepartitioning" in frag.lower()
+    assert "Exchange SinglePartition" not in frag
 
 
 def test_ann_cosine_topk_partial_window_group_limit(spark):
