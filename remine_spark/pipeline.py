@@ -29,17 +29,19 @@ from .corpus import sentences_from_pages
 
 # Salted-sink bucket count. The salt exists to defuse head-entity skew at
 # the final shuffle/write; its COUNT should track the write parallelism,
-# not a constant: at bench scale 64 buckets = 64 tiny files × 2 sinks of
-# pure fan-in overhead (~19 s of the local[32] wall in r2), on a real
-# cluster you want ≥ the executor count. Default: 4× parallelism, capped
-# to [8, 4096]; override with REMINE_TRIPLE_BUCKETS.
+# not a constant: r2's fixed 64 buckets made the two partitioned sinks a
+# ~19 s fan-in floor at local[32] (and measured catastrophically at 128
+# dirs: dynamic-partition commit cost is per-directory). Default:
+# parallelism/2 bounded to [8, 4096] — single-digit file counts on a
+# laptop, ~4k on a 1000-executor cluster; override with
+# REMINE_TRIPLE_BUCKETS.
 TRIPLE_BUCKETS = int(os.environ.get("REMINE_TRIPLE_BUCKETS", "0"))
 
 
 def _n_buckets(spark: SparkSession) -> int:
     if TRIPLE_BUCKETS > 0:
         return TRIPLE_BUCKETS
-    return min(4096, max(8, spark.sparkContext.defaultParallelism * 4))
+    return min(4096, max(8, spark.sparkContext.defaultParallelism // 2))
 
 
 def _exists(path: str) -> bool:
