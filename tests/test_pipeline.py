@@ -133,8 +133,10 @@ def test_salting_bounds_zipf_skew(run, spark):
     max_share = max(r["count"] for r in by_bucket) / n
     # head entity is heavy…
     assert top_ent["count"] / n > 0.05
-    # …but buckets stay bounded (64 buckets; hash spreads the head's rows
-    # only per-entity — all of one entity lands in one bucket, so the bound
-    # is the head entity's own share plus noise, far below a hot-partition)
+    # …but buckets stay bounded (hash spreads the head's rows only
+    # per-entity — all of one entity lands in one bucket, so the bound is
+    # the head entity's own share plus noise, far below a hot-partition)
     assert max_share < 0.3, f"bucket skew {max_share:.3f}"
-    assert len(by_bucket) > 8
+    # bucket count tracks write parallelism; every bucket is populated
+    from remine_spark import pipeline as _p
+    assert len(by_bucket) == _p._n_buckets(spark)
