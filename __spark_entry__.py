@@ -93,30 +93,71 @@ def _remine_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _remine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Driver-hashable projection of kg_embeddings(phrase, kind, vec):
+    # the raw array<float> column breaks the driver's canonicalizer
+    # (pandas sort_values → "unhashable type: 'list'"), so the vector is
+    # exploded to one (phrase, kind, pos, value) row per component with
+    # the value rounded — same information, scalar columns only.
     out = _run_flagship(spark, sf_dir)
-    return out["kg_embeddings"]
+    return out["kg_embeddings"].select(
+        "phrase", "kind",
+        F.posexplode(F.col("vec").cast("array<double>")).alias("pos", "value"),
+    ).withColumn("value", F.round("value", 6))
+
+
+def _correctness_history() -> dict[str, int]:
+    """name → latest round with a *usable* driver CORRECTNESS row.
+
+    Read mechanically from the CORRECTNESS_r*.json files the driver leaves
+    in the repo root. A row that recorded an error (other than the by-design
+    ``no_oracle`` rows-only marker) does NOT count — a red row means the
+    entry still needs verification, so it sorts as never-recorded."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                blob = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in blob.items():
+            if isinstance(row, dict) and row.get("err") not in (None, "no_oracle"):
+                continue
+            hist[name] = max(hist.get(name, -1), rnd)
+    return hist
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registration order matters: the driver's correctness gate may cap how
-    # many entries it records per round, so the entries that have never
-    # received a CORRECTNESS row (the five flagship pipeline queries plus
-    # ann_ivf_topk / token_count / doc_fingerprint — unrecorded in r1 AND
-    # r2) come FIRST. The flagship five share one resume=True workdir, so
-    # only the first pays the cold pipeline run.
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # Registration order matters: the driver's correctness gate records a
+    # capped number of entries per round (50 in r3 vs 58 registered), so
+    # ordering is derived MECHANICALLY from the CORRECTNESS_r*.json
+    # history: never-recorded (or red-recorded) entries first, then
+    # stalest-first, so no entry ever goes two rounds unverified. Ties
+    # keep catalog order, with the flagship five adjacent — they share one
+    # resume=True workdir, so only the first pays the cold pipeline run.
+    base: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "remine_triples": _remine_triples,
         "remine_mentions": _remine_mentions,
         "remine_entities": _remine_entities,
         "remine_edges": _remine_edges,
         "remine_embeddings": _remine_embeddings,
     }
-    for name in ("ann_ivf_topk", "token_count", "doc_fingerprint"):
-        out[name] = _CATALOG[name]["spark"]
     for name, spec in _CATALOG.items():
-        if name not in out:
-            out[name] = spec["spark"]
-    return out
+        if name not in base:
+            base[name] = spec["spark"]
+    hist = _correctness_history()
+    names = list(base)
+    order = sorted(range(len(names)),
+                   key=lambda i: (hist.get(names[i], -1), i))
+    return {names[i]: base[names[i]] for i in order}
 
 
 def oracle_sql() -> dict[str, str]:

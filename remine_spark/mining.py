@@ -198,7 +198,8 @@ def boost_patterns(sentences: DataFrame, max_len: int = MAX_LEN) -> DataFrame:
     (frequent_pattern_mining.h:244,251)."""
     if "chunk_a" in sentences.columns:
         spans = (
-            sentences.select(
+            sentences.filter(F.col("chunk_a").isNotNull())
+            .select(
                 "tokens", "pos",
                 F.explode(F.arrays_zip("chunk_a", "chunk_b")).alias("s"))
             .select("tokens", "pos", F.col("s.chunk_a").alias("a"),
@@ -213,10 +214,27 @@ def boost_patterns(sentences: DataFrame, max_len: int = MAX_LEN) -> DataFrame:
                     & ~F.col("surf").contains(".com"))
             .drop("surf")
         )
+        # Rows with NULL chunk columns (a resumed pre-chunk-upgrade
+        # sentences checkpoint is re-read with the new schema, so the
+        # columns exist but are null) would otherwise contribute ZERO
+        # spans — M14 boost patterns silently vanishing. Route exactly
+        # those rows through the python span generator; the null filter
+        # pushes to the scan, so on a current-schema corpus this leg
+        # receives no rows.
+        null_rows = sentences.filter(F.col("chunk_a").isNull())
+        spans = spans.unionByName(_py_chunk_spans(null_rows, max_len))
         return spans.groupBy("ngram").agg(
             F.count(F.lit(1)).alias("boost_freq"),
             F.min("pos_key").alias("pos_key"))
 
+    return _py_chunk_spans(sentences, max_len).groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("boost_freq"),
+        F.min("pos_key").alias("pos_key"))
+
+
+def _py_chunk_spans(sentences: DataFrame, max_len: int) -> DataFrame:
+    """mapInPandas chunk-span generator: (ngram, pos_key) rows for
+    sentences tables without (or with null) stage-1 chunk columns."""
     import pandas as pd
 
     from .nlp import boost_chunk_spans
@@ -241,13 +259,8 @@ def boost_patterns(sentences: DataFrame, max_len: int = MAX_LEN) -> DataFrame:
                 "pos_key": pd.Series(keys, dtype="object"),
             })
 
-    return (
-        sentences.select("tokens", "pos")
-        .mapInPandas(gen, schema="ngram array<string>, pos_key string")
-        .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("boost_freq"),
-             F.min("pos_key").alias("pos_key"))
-    )
+    return sentences.select("tokens", "pos").mapInPandas(
+        gen, schema="ngram array<string>, pos_key string")
 
 
 def mine_patterns_boosted(

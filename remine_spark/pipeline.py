@@ -213,6 +213,7 @@ def run_pipeline(
     min_sup: int = mining.MIN_SUP, max_len: int = mining.MAX_LEN,
     outer_iters: int = 2, inner_iters: int = 4,
     transe_epochs: int = 20, transe_dim: int = 16,
+    transe_param_shard: bool | None = None,
     resume: bool = True,
     quality_pools: tuple[set, set] | None = None,
 ) -> dict[str, DataFrame]:
@@ -255,6 +256,12 @@ def run_pipeline(
             + [T.StructField("indicator", T.StringType()),
                T.StructField("quality", T.DoubleType())])
         patterns_df = _read_wide(spark, pat_path, schema=pat_schema)
+        # a pre-is_boost checkpoint re-read with the current schema yields
+        # the column present but NULL (parquet fills missing columns with
+        # null); external-pattern semantics default to "not a boost row"
+        # (mirrors the entity_id coalesce below)
+        patterns_df = patterns_df.withColumn(
+            "is_boost", F.coalesce(F.col("is_boost"), F.lit(False)))
     else:
         stage_caches: list[DataFrame] = []
         raw_patterns = mining.mine_patterns_boosted(
@@ -327,6 +334,7 @@ def run_pipeline(
     # 5. ReMine-Global (M12/M13) + ranked triples sink, subj-hash salted (S8)
     te = transe.fit(
         spark, tuples, dim=transe_dim, epochs=transe_epochs,
+        param_shard=transe_param_shard,
         checkpoint_path=(os.path.join(workdir, "transe_model.json")
                          if resume else None))
     kg_embeddings = checkpoint(

@@ -429,50 +429,61 @@ def _fit_sharded(
                 corrupt_head = ((key >> np.uint64(8)) & np.uint64(1)).astype(bool)
                 ni = ((key >> np.uint64(16)) % n_ent_u).astype(np.int64)
                 yield pd.DataFrame({
-                    "eid": h,
                     "hi": hi, "ri": ri, "ti": ti,
                     "hi2": np.where(corrupt_head, ni, hi),
                     "ti2": np.where(corrupt_head, ti, ni),
                 })
 
+        # The gather groups on (hi, ri, ti, hi2, ti2) — collision-FREE:
+        # (hi, ri, ti) uniquely identifies an edge because
+        # edges_from_tuples is distinct, and hi2/ti2 are deterministic
+        # functions of the edge; h stays a sampling seed only (a 64-bit
+        # hash collision between two edges would otherwise merge their
+        # gathered structs, silently dropping one edge's gradients).
+        # Parameter requests are DISTINCT per edge (array_distinct before
+        # the explode): hi2==hi or ti2==ti always, so the 5 role rows
+        # collapse to ≤4 shuffled rows per edge (~20-40% less gather
+        # volume); the kernel re-derives each role's vector by (kind, idx)
+        # lookup from the id columns carried on the group key.
         need = eid.mapInPandas(
-            negs, schema="eid long, hi long, ri long, ti long, "
-                         "hi2 long, ti2 long")
+            negs, schema="hi long, ri long, ti long, hi2 long, ti2 long")
+        edge_key = ["hi", "ri", "ti", "hi2", "ti2"]
         req = need.select(
-            "eid",
-            F.explode(F.array(*[
-                F.struct(F.lit(role).alias("role"),
-                         F.lit(kind).alias("kind"),
-                         F.col(src).alias("idx"))
-                for role, kind, src in (
-                    ("hp", "e", "hi"), ("tp", "e", "ti"),
-                    ("hn", "e", "hi2"), ("tn", "e", "ti2"),
-                    ("rr", "r", "ri"))
-            ])).alias("q"),
-        ).select("eid", "q.role", "q.kind", "q.idx")
+            *edge_key,
+            F.explode(F.array_distinct(F.array(*[
+                F.struct(F.lit(kind).alias("kind"), F.col(src).alias("idx"))
+                for kind, src in (("e", "hi"), ("e", "ti"), ("e", "hi2"),
+                                  ("e", "ti2"), ("r", "ri"))
+            ]))).alias("q"),
+        ).select(*edge_key, "q.kind", "q.idx")
         gathered = (
             req.join(params, ["kind", "idx"])
-            .groupBy("eid")
-            .agg(F.collect_list(F.struct("role", "idx", "vec")).alias("parts"))
+            .groupBy(*edge_key)
+            .agg(F.collect_list(F.struct("kind", "idx", "vec")).alias("parts"))
         )
 
         def grads(batches):
             """Same gradient math as the broadcast kernel; inputs arrive
-            as gathered (role, idx, vec) structs instead of broadcast
-            matrix lookups."""
+            as gathered (kind, idx, vec) structs resolved per role via
+            the edge's id columns instead of broadcast matrix lookups."""
             for pdf in batches:
-                rows = pdf["parts"]
-                n = len(rows)
+                n = len(pdf)
                 if n == 0:
                     continue
+                hi = pdf["hi"].to_numpy(dtype=np.int64)
+                ri = pdf["ri"].to_numpy(dtype=np.int64)
+                ti = pdf["ti"].to_numpy(dtype=np.int64)
+                hi2 = pdf["hi2"].to_numpy(dtype=np.int64)
+                ti2 = pdf["ti2"].to_numpy(dtype=np.int64)
                 mats = {r: np.empty((n, dim)) for r in
                         ("hp", "tp", "hn", "tn", "rr")}
-                idxs = {r: np.empty(n, dtype=np.int64) for r in
-                        ("hp", "tp", "hn", "tn", "rr")}
-                for i, parts in enumerate(rows):
-                    for p in parts:
-                        mats[p["role"]][i] = p["vec"]
-                        idxs[p["role"]][i] = p["idx"]
+                for i, parts in enumerate(pdf["parts"]):
+                    vec = {(p["kind"], p["idx"]): p["vec"] for p in parts}
+                    mats["hp"][i] = vec[("e", hi[i])]
+                    mats["tp"][i] = vec[("e", ti[i])]
+                    mats["hn"][i] = vec[("e", hi2[i])]
+                    mats["tn"][i] = vec[("e", ti2[i])]
+                    mats["rr"][i] = vec[("r", ri[i])]
                 pos = mats["hp"] + mats["rr"] - mats["tp"]
                 neg = mats["hn"] + mats["rr"] - mats["tn"]
                 loss = (margin + np.abs(pos).sum(axis=1)
@@ -482,13 +493,12 @@ def _fit_sharded(
                     continue
                 gp = np.sign(pos[act])
                 gn = np.sign(neg[act])
-                eidx = np.concatenate([idxs["hp"][act], idxs["tp"][act],
-                                       idxs["hn"][act], idxs["tn"][act]])
+                eidx = np.concatenate([hi[act], ti[act], hi2[act], ti2[act]])
                 egrd = np.concatenate([gp, -gp, -gn, gn])
                 uniq, inv = np.unique(eidx, return_inverse=True)
                 accE = np.zeros((uniq.size, dim))
                 np.add.at(accE, inv, egrd)
-                runiq, rinv = np.unique(idxs["rr"][act], return_inverse=True)
+                runiq, rinv = np.unique(ri[act], return_inverse=True)
                 accR = np.zeros((runiq.size, dim))
                 np.add.at(accR, rinv, gp - gn)
                 yield pd.DataFrame({
@@ -608,11 +618,15 @@ def score_and_rank_params(spark: SparkSession, tuples: DataFrame,
     def l1_score(sv: pd.Series, rm: pd.Series, ov: pd.Series) -> pd.Series:
         # numpy |s + r - o|.sum(): the same reduce code path as the
         # broadcast kernel — numpy's short-vector sum is pairwise-
-        # unrolled, so a left-to-right JVM fold differs by an ulp
+        # unrolled, so a left-to-right JVM fold differs by an ulp.
+        # Unknown subj/obj or zero known rel vectors → NaN, matching
+        # score_and_rank exactly (it emits NaN, never NULL; both order
+        # last under asc_nulls_last so ranks agreed, but the materialized
+        # values must too).
         out = []
         for s, r, o in zip(sv, rm, ov):
             if s is None or r is None or o is None:
-                out.append(None)
+                out.append(float("nan"))
             else:
                 out.append(float(np.abs(
                     np.asarray(s) + np.asarray(r) - np.asarray(o)).sum()))

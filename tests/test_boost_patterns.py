@@ -63,6 +63,33 @@ def test_boost_pattern_becomes_mention_end_to_end(spark, tmp_path):
     assert surfaces & mention_texts, "no boost pattern became a mention"
 
 
+def test_null_chunk_rows_fall_back_to_python_spans(spark):
+    """A resumed pre-chunk-upgrade sentences checkpoint is re-read with the
+    new schema, so chunk_a/chunk_b EXIST but are null in every row. Boost
+    patterns must not silently vanish: null-chunk rows route through the
+    python span generator and the result equals the no-chunk-column path."""
+    rows = []
+    for i in range(3):
+        rows.append((i, 0, ["stark", "wayne", "visited", "gotham", "."],
+                     ["NNP", "NNP", "VBD", "NNP", "."]))
+    for i in range(3, 18):
+        rows.append((i, 0, ["acme", "acquired", "globex", "."],
+                     ["NNP", "VBD", "NNP", "."]))
+    sents = spark.createDataFrame(
+        rows, "doc_id long, sent_id int, tokens array<string>, "
+              "pos array<string>")
+    with_null_chunks = sents.withColumn(
+        "chunk_a", F.lit(None).cast("array<int>")).withColumn(
+        "chunk_b", F.lit(None).cast("array<int>"))
+    want = {tuple(r.ngram): (r.boost_freq, r.pos_key)
+            for r in mining.boost_patterns(sents, max_len=6).collect()}
+    got = {tuple(r.ngram): (r.boost_freq, r.pos_key)
+           for r in mining.boost_patterns(with_null_chunks,
+                                          max_len=6).collect()}
+    assert want, "sanity: the corpus has boost chunks"
+    assert got == want
+
+
 def test_pos_key_expr_matches_python_tagger(spark):
     """mining._pos_key_expr must transliterate nlp.pos_tag exactly."""
     import random
