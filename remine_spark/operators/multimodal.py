@@ -132,48 +132,79 @@ _EMB_DIM = 16
 
 _EMBED_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
-    T.StructField("embedding", T.ArrayType(T.FloatType())),
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
 ])
 
 
 def _embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB image-embedding model: deterministic unit vector from payload
-    bytes (md5-seeded). A real model (CLIP etc.) drops into this exact
+    """STUB image-embedding model: deterministic 16-dim vector from the
+    payload's md5 digest — component i is byte i centered at 0
+    (b_i − 127.5, a half-integer, so every dot product / squared norm is
+    an EXACT multiple of 0.25 and the DuckDB oracle reproduces the cosine
+    bit-for-bit: exact sums in any order, then one correctly-rounded
+    sqrt + division). A real model (CLIP etc.) drops into this exact
     Arrow batch signature; at scale set arrow.maxRecordsPerBatch so one
     batch of decoded images fits the accelerator."""
     import hashlib
 
-    import numpy as np
-
     for pdf in batches:
-        vecs = []
-        for payload in pdf["payload"]:
-            seed = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
-            rng = np.random.default_rng(seed)
-            v = rng.standard_normal(_EMB_DIM)
-            vecs.append((v / np.linalg.norm(v)).astype("float32").tolist())
-        yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": vecs})
+        vecs = [[float(b) - 127.5 for b in hashlib.md5(p).digest()]
+                for p in pdf["payload"]]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                            "embedding": pd.Series(vecs, dtype="object")})
 
 
-@query("mm_embed_neighbors", None)  # rows-only: stub model, not SQL-expressible
+@query("mm_embed_neighbors", """
+    WITH e AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+                 i -> CAST('0x' || substr(md5(text), 2*i + 1, 2) AS BIGINT)
+                      - 127.5) AS v
+      FROM documents
+    ),
+    n AS (SELECT doc_id, v,
+                 list_sum(list_transform(v, x -> x * x)) AS nn FROM e),
+    s AS (
+      SELECT q.doc_id AS q_id, c.doc_id AS cand_id,
+             round(list_sum(list_transform(range(0, 16),
+                   i -> q.v[i + 1] * c.v[i + 1])) / sqrt(q.nn * c.nn), 6)
+               AS cos
+      FROM n q JOIN n c ON c.doc_id <> q.doc_id
+      WHERE q.doc_id < 5
+    )
+    SELECT q_id, cand_id, cos, rnk FROM (
+      SELECT q_id, cand_id, cos,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, cand_id) AS rnk
+      FROM s
+    ) WHERE rnk <= 3
+""")
 def mm_embed_neighbors(spark, sf_dir):
     """End-to-end multimodal retrieval path: binary payload → Arrow-batched
     embedding UDF → brute-force cosine top-3 per query doc. The plumbing
-    (binary column, batch shape, unit-norm contract, join + window) is the
-    production shape; only the encoder is stubbed."""
+    (binary column, batch shape, join + window) is the production shape;
+    only the encoder is stubbed — and the stub's md5-byte arithmetic is
+    SQL-expressible, so the oracle verifies the WHOLE path hash-exactly
+    (the cosine is computed from exact integer-scaled sums; ranking uses
+    the rounded cosine on both sides so tie order is deterministic)."""
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
     emb = with_payload(d).mapInPandas(_embed_batches, _EMBED_SCHEMA)
-    v = emb.select("doc_id", F.expr(
-        "transform(embedding, x -> cast(x as double))").alias("v"))
+    v = emb.select(
+        "doc_id", F.col("embedding").alias("v"),
+        F.expr("aggregate(embedding, 0D, (a, x) -> a + x * x)").alias("nn"))
     q = v.filter("doc_id < 5").select(
-        F.col("doc_id").alias("q_id"), F.col("v").alias("qv"))
+        F.col("doc_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nn").alias("qn"))
     s = (
         v.crossJoin(F.broadcast(q))
         .filter("doc_id <> q_id")
         .select("q_id", F.col("doc_id").alias("cand_id"),
-                F.expr("round(aggregate(zip_with(qv, v, (x, y) -> x*y), "
-                       "0.0D, (acc, x2) -> acc + x2), 6)").alias("cos"))
+                F.round(
+                    F.expr("aggregate(zip_with(qv, v, (x, y) -> x * y), "
+                           "0D, (a, x) -> a + x)")
+                    / F.sqrt(F.col("qn") * F.col("nn")), 6).alias("cos"))
     )
-    from pyspark.sql import Window
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return s.withColumn("rnk", F.row_number().over(w)).filter("rnk <= 3")
