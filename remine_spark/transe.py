@@ -174,11 +174,14 @@ def fit(
     # ~20k edges per task keeps python kernels amortized; large edge
     # tables keep full parallelism.
     n_edges = edf.count()
+    base = edf
     want = max(1, min(edf.rdd.getNumPartitions(), n_edges // 20_000))
     if want < edf.rdd.getNumPartitions():
-        edf.unpersist()
-        edf = edf.coalesce(want).persist(StorageLevel.MEMORY_AND_DISK)
-        edf.count()
+        # coalesce is a NARROW dependency over the cached parent: every
+        # epoch reads the cached blocks through it. (Re-persisting a
+        # coalesced copy — the old formulation — recomputed the whole
+        # edges groupBy shuffle a second time just to cache it again.)
+        edf = edf.coalesce(want)
     # parameter-sharded dispatch (web-scale path: the entity matrix never
     # materializes on the driver and is never broadcast — see _fit_sharded)
     if param_shard is None:
@@ -191,7 +194,7 @@ def fit(
                 checkpoint_path=checkpoint_path,
                 checkpoint_every=checkpoint_every)
         finally:
-            edf.unpersist()
+            base.unpersist()
     # one job for both vocabularies (entities + relations, tagged union)
     vocab = (
         edf.select(F.col("subj").alias("t"), F.lit("e").alias("k"))
@@ -204,7 +207,7 @@ def fit(
     model = TransEModel({e: i for i, e in enumerate(ents)},
                         {r: i for i, r in enumerate(rels)}, dim=dim, seed=seed)
     if not ents or not rels:
-        edf.unpersist()
+        base.unpersist()
         return model
 
     # mid-run resume (north_star: the embed stage resumes mid-run): pick up
@@ -289,7 +292,7 @@ def fit(
         if checkpoint_path is not None and (
                 (epoch + 1) % checkpoint_every == 0 or epoch == epochs - 1):
             save_model(model, checkpoint_path, epoch)
-    edf.unpersist()
+    base.unpersist()
     return model
 
 
