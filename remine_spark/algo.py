@@ -57,6 +57,17 @@ def _tree_to_string(children: dict[int, list[int]], u: int) -> str:
     return "(x" + "".join(subs) + ")"
 
 
+# Signature memo: the canonical string is a pure function of the span's
+# RELATIVE (idx, head) offsets (both translated by idx_start — the inside
+# test `idx_start < b <= idx_end + 1` and the tree build only use
+# differences), and ≤max_len-token spans repeat the same few hundred
+# dependency shapes across a corpus, so the hit rate is ~100% after
+# warm-up. Bounded: keys are ≤2·max_len small ints. This is the hot path
+# of every EM/segmentation pass (profiled: tree_signature was 69% of the
+# Viterbi kernel before memoization).
+_SIG_MEMO: dict[tuple, str] = {}
+
+
 def tree_signature(deps: list[tuple[int, int]], start: int, end: int) -> str:
     """Canonical shape string of the dep-subtree over deps[start:end).
 
@@ -65,19 +76,30 @@ def tree_signature(deps: list[tuple[int, int]], start: int, end: int) -> str:
     (segmentation.h:179-205) including its handling of gappy subsequences
     (TUPLE_MODE path tokens keep their original indices)."""
     idx_start = deps[start][0]
-    idx_end = deps[end - 1][0]
-    children: dict[int, list[int]] = {}
-    is_root: dict[int, bool] = {}
+    parts = []
+    ap = parts.append
     for i in range(start, end):
-        a, b = deps[i][0] + 1, deps[i][1]
-        if idx_start < b <= idx_end + 1:
-            children.setdefault(b, []).append(a)
-            is_root[a] = False
-    for i in range(start, end):
-        a = deps[i][0] + 1
-        if a not in is_root:
-            children.setdefault(0, []).append(a)
-    return _tree_to_string(children, 0)
+        a, b = deps[i]
+        ap(a - idx_start)
+        ap(b - idx_start)
+    key = tuple(parts)
+    sig = _SIG_MEMO.get(key)
+    if sig is None:
+        idx_end = deps[end - 1][0]
+        children: dict[int, list[int]] = {}
+        is_root: dict[int, bool] = {}
+        for i in range(start, end):
+            a, b = deps[i][0] + 1, deps[i][1]
+            if idx_start < b <= idx_end + 1:
+                children.setdefault(b, []).append(a)
+                is_root[a] = False
+        for i in range(start, end):
+            a = deps[i][0] + 1
+            if a not in is_root:
+                children.setdefault(0, []).append(a)
+        sig = _tree_to_string(children, 0)
+        _SIG_MEMO[key] = sig
+    return sig
 
 
 def census_signatures(deps: list[tuple[int, int]], max_len: int = 6):
@@ -119,8 +141,17 @@ def viterbi_deps(
     f = [NEG_INF] * (n + 1)
     pre = [-1] * (n + 1)
     f[0], pre[0] = 0.0, 0
+    # punc prefix counts: span [i, j] contains punctuation iff
+    # pc[j+1] - pc[i] > 0 — same NEG_INF semantics as punc_cost
+    # (GetPuncCost, segmentation.h:334-358) without the O(span) rescan
+    # per candidate
+    pc = [0] * (n + 1)
+    for i, t in enumerate(tokens):
+        pc[i + 1] = pc[i] + (t in PUNC)
+    dlp_get = deps_logprob.get
     for i in range(n):
-        if f[i] < -1e80:
+        fi = f[i]
+        if fi < -1e80:
             continue
         impossible = True
         u = trie
@@ -131,17 +162,17 @@ def viterbi_deps(
             pid = u[0]
             if pid >= 0:
                 impossible = False
-                p = prob[pid]
-                multi = 0.0
+                cand = fi + prob[pid]
                 if j > i:
+                    if pc[j + 1] - pc[i] > 0:
+                        continue
                     sig = tree_signature(deps, i, j + 1)
-                    multi += deps_logprob.get(sig, default_logprob)
-                    multi += punc_cost(tokens, i, j)
-                if f[i] + p + multi > f[j + 1]:
-                    f[j + 1] = f[i] + p + multi
+                    cand += dlp_get(sig, default_logprob)
+                if cand > f[j + 1]:
+                    f[j + 1] = cand
                     pre[j + 1] = i
-        if impossible and f[i] > f[i + 1]:
-            f[i + 1] = f[i]
+        if impossible and fi > f[i + 1]:
+            f[i + 1] = fi
             pre[i + 1] = i
     return f, pre
 

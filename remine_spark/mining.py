@@ -217,9 +217,9 @@ def boost_patterns(sentences: DataFrame, max_len: int = MAX_LEN) -> DataFrame:
             .filter(F.col("b") - F.col("a") <= max_len)
             .select(
                 F.expr("slice(tokens, a + 1, b - a)").alias("ngram"),
-                F.expr("array_join(slice(pos, a + 1, b - a), ' ')")
+                F.concat_ws(" ", F.expr("slice(pos, a + 1, b - a)"))
                 .alias("pos_key"))
-            .withColumn("surf", F.array_join("ngram", " "))
+            .withColumn("surf", F.concat_ws(" ", "ngram"))
             .filter(~F.col("surf").contains("www")
                     & ~F.col("surf").contains(".com"))
             .drop("surf")

@@ -76,14 +76,17 @@ def a1_unigram_count(spark, sf_dir):
 """)
 def a2_bigram_minsup(spark, sf_dir):
     """A2+P3 (frequent_pattern_mining.h:350-435): n-gram mining with
-    min-support, as one explode + hash agg (no self-join needed)."""
+    min-support, as one explode + hash agg (no self-join needed). Bigrams
+    are formed by posexplode + element_at — whole-stage codegen end to
+    end (a transform(sequence...) HOF evaluates interpreted and was the
+    query's dominant cost)."""
     d = _t(spark, sf_dir, "documents")
-    bigrams = F.expr(
-        "transform(sequence(1, size(toks)-1), "
-        "i -> concat(element_at(toks, i), ' ', element_at(toks, i+1)))")
     return (
         d.select(F.split("text", " ").alias("toks"))
-        .select(F.explode(bigrams).alias("ngram"))
+        .select("toks", F.posexplode("toks").alias("i", "tok"))
+        .filter(F.col("i") + 2 <= F.size("toks"))
+        .select(F.concat_ws(
+            " ", "tok", F.element_at("toks", F.col("i") + 2)).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 5)
@@ -196,11 +199,14 @@ def j2_subpattern_join(spark, sf_dir):
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("ord", "tok"))
     uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
-    t2 = toks.select("doc_id", (F.col("ord") - 1).alias("ord"),
-                     F.col("tok").alias("tok2"))
+    # adjacent pairs via element_at on the carried token array — one
+    # codegen'd scan instead of a (doc_id, ord) self-join shuffle
+    arr = d.select(F.split("text", " ").alias("toks"))
     bi = (
-        toks.join(t2, ["doc_id", "ord"])
-        .groupBy(F.col("tok").alias("w1"), F.col("tok2").alias("w2"))
+        arr.select("toks", F.posexplode("toks").alias("i", "w1"))
+        .filter(F.col("i") + 2 <= F.size("toks"))
+        .select("w1", F.element_at("toks", F.col("i") + 2).alias("w2"))
+        .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 10)
     )
