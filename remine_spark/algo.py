@@ -60,11 +60,14 @@ def _tree_to_string(children: dict[int, list[int]], u: int) -> str:
 # Signature memo: the canonical string is a pure function of the span's
 # RELATIVE (idx, head) offsets (both translated by idx_start — the inside
 # test `idx_start < b <= idx_end + 1` and the tree build only use
-# differences), and ≤max_len-token spans repeat the same few hundred
-# dependency shapes across a corpus, so the hit rate is ~100% after
-# warm-up. Bounded: keys are ≤2·max_len small ints. This is the hot path
-# of every EM/segmentation pass (profiled: tree_signature was 69% of the
-# Viterbi kernel before memoization).
+# differences), and the tree shape never looks at WHERE an out-of-span
+# head points (any external head just makes its token a root child), so
+# external heads are clamped to sentinel 0 in the key. ≤max_len-token
+# spans then repeat the same few hundred dependency shapes across a
+# corpus (hit rate ~100% after warm-up) and the memo is bounded: keys
+# are ≤2·max_len ints with head offsets confined to [0, span+1]. This is
+# the hot path of every EM/segmentation pass (profiled: tree_signature
+# was 69% of the Viterbi kernel before memoization).
 _SIG_MEMO: dict[tuple, str] = {}
 
 
@@ -76,25 +79,27 @@ def tree_signature(deps: list[tuple[int, int]], start: int, end: int) -> str:
     (segmentation.h:179-205) including its handling of gappy subsequences
     (TUPLE_MODE path tokens keep their original indices)."""
     idx_start = deps[start][0]
+    # in-span head test `idx_start < b <= idx_end + 1` ⟺ 0 < rb <= span+1
+    span1 = deps[end - 1][0] - idx_start + 1
     parts = []
     ap = parts.append
     for i in range(start, end):
         a, b = deps[i]
         ap(a - idx_start)
-        ap(b - idx_start)
+        rb = b - idx_start
+        ap(rb if 0 < rb <= span1 else 0)
     key = tuple(parts)
     sig = _SIG_MEMO.get(key)
     if sig is None:
-        idx_end = deps[end - 1][0]
         children: dict[int, list[int]] = {}
         is_root: dict[int, bool] = {}
-        for i in range(start, end):
-            a, b = deps[i][0] + 1, deps[i][1]
-            if idx_start < b <= idx_end + 1:
-                children.setdefault(b, []).append(a)
+        for j in range(0, len(parts), 2):
+            a, rb = parts[j] + 1, parts[j + 1]
+            if rb:
+                children.setdefault(rb, []).append(a)
                 is_root[a] = False
-        for i in range(start, end):
-            a = deps[i][0] + 1
+        for j in range(0, len(parts), 2):
+            a = parts[j] + 1
             if a not in is_root:
                 children.setdefault(0, []).append(a)
         sig = _tree_to_string(children, 0)

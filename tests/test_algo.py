@@ -39,6 +39,26 @@ def test_tree_signature_chain_vs_fork():
     assert algo.tree_signature(deps, 0, 2) == "(x(x)(x))"
 
 
+def test_tree_signature_external_head_clamped():
+    # The shape never depends on WHERE an out-of-span head points — only
+    # that it is out of span. Equal shapes with different external
+    # targets must give the same signature AND collapse to one memo key
+    # (the key clamps external heads to sentinel 0).
+    a = [(0, 2), (1, 3), (2, 7)]    # last head 4 tokens to the right
+    b = [(0, 2), (1, 3), (2, 99)]   # last head far to the right
+    c = [(5, 7), (6, 8), (7, 12)]   # same shape, translated span
+    before = len(algo._SIG_MEMO)
+    sa = algo.tree_signature(a, 0, 3)
+    sb = algo.tree_signature(b, 0, 3)
+    sc = algo.tree_signature(c, 0, 3)
+    assert sa == sb == sc == "(x(x(x(x))))"
+    assert len(algo._SIG_MEMO) <= before + 1
+    # a head pointing BEFORE the span is external too
+    d = [(3, 1), (4, 4), (5, 5)]    # token 3 heads back to 1 (external)
+    e = [(3, 0), (4, 4), (5, 5)]
+    assert algo.tree_signature(d, 0, 3) == algo.tree_signature(e, 0, 3)
+
+
 def test_tree_signature_order_invariant():
     # children sorted: left-heavy and right-heavy forks give same signature
     fork_l = [(0, 3), (1, 3), (2, 9)]   # 1,2 -> 3
