@@ -46,7 +46,7 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # bump when stage schemas / pipeline outputs change: keeps resume=True from
 # reusing checkpoints written by an older code version in a shared /tmp
-_ENTRY_VERSION = "v4"  # v4: patterns checkpoint gains is_boost (M14 zero-fill)
+_ENTRY_VERSION = "v5"  # v5: fused extraction checkpoint replaces mentions/tuples
 
 
 def _run_flagship(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

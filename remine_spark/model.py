@@ -141,6 +141,25 @@ class SegModel:
             "default_logprob": math.log(EPS),
         }
 
+    def payload_static(self) -> dict:
+        """The per-outer-iteration IMMUTABLE part of the model: the EM
+        inner loop (adjustConstraints) only re-estimates ``deps_prob``;
+        patterns/trie/probs change solely at rectify_frequency's
+        ``_rebuild``. Broadcasting this once per outer iteration instead
+        of per inner pass cuts ~6/7 of the broadcast volume — and the
+        per-pass fetch+unpickle cost in every python worker scaled with
+        worker count, so the repeat broadcast was an anti-scaler. The
+        tiny ``deps_logprob`` dict (bounded by the ≤6-node unordered
+        forest combinatorics — a few hundred entries) rides the task
+        closure per pass instead."""
+        return {
+            "patterns": self.patterns,
+            "trie": self.trie,
+            "prob": self.prob,
+            "prob_tuple": self.prob_tuple,
+            "default_logprob": math.log(EPS),
+        }
+
 
 def model_from_patterns(
     patterns_df: DataFrame, tree_total: dict[str, int],
@@ -245,7 +264,7 @@ def segment_sentences(sentences: DataFrame, bc_model, rp_only: bool = False) -> 
 # M9 + A7/A8: EM driver loop
 # --------------------------------------------------------------------------
 
-def _em_pass(sentences: DataFrame, bc_model) -> DataFrame:
+def _em_pass(sentences: DataFrame, bc_static, deps_logprob: dict) -> DataFrame:
     """One EM statistics pass, batch-compacted: Viterbi each sentence but
     emit only per-batch aggregated rows (key, cnt, energy) — signature
     keys prefixed 's:', pattern ids prefixed 'p:', plus one 'energy'
@@ -254,15 +273,20 @@ def _em_pass(sentences: DataFrame, bc_model) -> DataFrame:
     downstream groupBy touches hundreds of rows per task instead of one
     per sentence. Both EM consumers (adjust_constraints: signatures +
     energy; rectify_frequency: chosen-pattern counts) read from this one
-    kernel."""
+    kernel.
+
+    ``bc_static`` broadcasts only the immutable trie/patterns/probs
+    (SegModel.payload_static, shared across every pass of an outer
+    iteration); the per-pass ``deps_logprob`` dict ships in the task
+    closure (a few hundred floats)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import Counter
 
-        m = bc_model.value
+        m = bc_static.value
         trie, prob = m["trie"], m["prob"]
         patterns = m["patterns"]
-        dlp, dflt = m["deps_logprob"], m["default_logprob"]
+        dlp, dflt = deps_logprob, m["default_logprob"]
         for pdf in batches:
             counts: Counter = Counter()
             energy_sum = 0.0
@@ -290,17 +314,24 @@ def _em_pass(sentences: DataFrame, bc_model) -> DataFrame:
     return cols.mapInPandas(run, schema="key string, cnt long, energy double")
 
 
-def _em_stats(spark: SparkSession, sentences: DataFrame, model: SegModel
-              ) -> tuple[dict, dict, float]:
-    """(signature counts, chosen-pattern counts, total energy) in ONE job."""
-    bc = spark.sparkContext.broadcast(model.payload())
+def _em_stats(spark: SparkSession, sentences: DataFrame, model: SegModel,
+              bc_static=None) -> tuple[dict, dict, float]:
+    """(signature counts, chosen-pattern counts, total energy) in ONE job.
+
+    Pass ``bc_static`` (a broadcast of ``model.payload_static()``) to
+    amortize the trie broadcast across passes; without it a one-shot
+    broadcast is created and destroyed here."""
+    own = bc_static is None
+    if own:
+        bc_static = spark.sparkContext.broadcast(model.payload_static())
     rows = (
-        _em_pass(sentences, bc)
+        _em_pass(sentences, bc_static, model.log_deps())
         .groupBy("key")
         .agg(F.sum("cnt").alias("cnt"), F.sum("energy").alias("energy"))
         .collect()
     )
-    bc.destroy()
+    if own:
+        bc_static.destroy()
     sig_cnt, pat_cnt, energy = {}, {}, 0.0
     for r in rows:
         if r.key == "energy":
@@ -314,35 +345,48 @@ def _em_stats(spark: SparkSession, sentences: DataFrame, model: SegModel
 
 def adjust_constraints(
     spark: SparkSession, sentences: DataFrame, model: SegModel,
-    inner_iters: int = 10, rel_eps: float = EPS,
+    inner_iters: int = 10, rel_eps: float = EPS, bc_static=None,
 ) -> list[float]:
     """Inner EM loop (main.cpp:187-198 + adjustConstraints
     segmentation.h:884-967): segment → count chosen multi-word span
     signatures → deps_prob[sig] = cnt / total, until relative energy change
     < rel_eps. Returns the energy trajectory. One batch-compacted corpus
-    pass per iteration (signature counts + energy ride the same job)."""
+    pass per iteration (signature counts + energy ride the same job);
+    the trie broadcast is created ONCE for the loop (only deps_prob
+    changes between passes)."""
+    own = bc_static is None
+    if own:
+        bc_static = spark.sparkContext.broadcast(model.payload_static())
     energies: list[float] = []
     last = 1e100
-    for _ in range(inner_iters):
-        cnts, _pat, energy = _em_stats(spark, sentences, model)
-        model.deps_prob = {
-            s: cnts.get(s, 0) / t for s, t in model.tree_total.items() if t > 0
-        }
-        energies.append(energy)
-        if abs(energy - last) / abs(last) < rel_eps:
-            break
-        last = energy
+    try:
+        for _ in range(inner_iters):
+            cnts, _pat, energy = _em_stats(
+                spark, sentences, model, bc_static=bc_static)
+            model.deps_prob = {
+                s: cnts.get(s, 0) / t
+                for s, t in model.tree_total.items() if t > 0
+            }
+            energies.append(energy)
+            if abs(energy - last) / abs(last) < rel_eps:
+                break
+            last = energy
+    finally:
+        if own:
+            bc_static.destroy()
     return energies
 
 
 def rectify_frequency(
-    spark: SparkSession, sentences: DataFrame, model: SegModel
+    spark: SparkSession, sentences: DataFrame, model: SegModel,
+    bc_static=None,
 ) -> SegModel:
     """A8 (rectifyFrequencyDeps, segmentation.h:816-882): pattern freq :=
     number of times Viterbi chose it; then rebuild trie/probs (patterns with
     rectified freq 0 drop out of the trie for multi-word, segmentation.h:46).
     """
-    _sig, cnt, _energy = _em_stats(spark, sentences, model)
+    _sig, cnt, _energy = _em_stats(spark, sentences, model,
+                                   bc_static=bc_static)
     new_patterns = [
         (toks, cnt.get(pid, 0), q, ind)
         for pid, (toks, _f, q, ind) in enumerate(model.patterns)
@@ -363,8 +407,17 @@ def fit(
     model = model_from_patterns(assign_quality_if_missing(patterns_df),
                                 tree_total, top_k=top_k)
     for _ in range(outer_iters):
-        adjust_constraints(spark, sentences, model, inner_iters=inner_iters)
-        model = rectify_frequency(spark, sentences, model)
+        # one trie broadcast serves the whole outer iteration: the inner
+        # loop mutates only deps_prob, and rectify_frequency segments with
+        # the same trie before its _rebuild
+        bc_static = spark.sparkContext.broadcast(model.payload_static())
+        try:
+            adjust_constraints(spark, sentences, model,
+                               inner_iters=inner_iters, bc_static=bc_static)
+            model = rectify_frequency(spark, sentences, model,
+                                      bc_static=bc_static)
+        finally:
+            bc_static.destroy()
     return model
 
 

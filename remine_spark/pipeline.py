@@ -314,21 +314,36 @@ def run_pipeline(
             tree_total = model_mod.subtree_census(sentences, max_len)
             m = model_mod.model_from_patterns(patterns_df, tree_total)
         for it in range(start_iter, outer_iters):
-            model_mod.adjust_constraints(spark, sentences, m,
-                                         inner_iters=inner_iters)
-            m = model_mod.rectify_frequency(spark, sentences, m)
+            # one trie broadcast per outer iteration (the inner loop only
+            # re-estimates deps_prob; see SegModel.payload_static)
+            bc_static = spark.sparkContext.broadcast(m.payload_static())
+            try:
+                model_mod.adjust_constraints(spark, sentences, m,
+                                             inner_iters=inner_iters,
+                                             bc_static=bc_static)
+                m = model_mod.rectify_frequency(spark, sentences, m,
+                                                bc_static=bc_static)
+            finally:
+                bc_static.destroy()
             save_model(workdir, m, "segmodel_partial.json", outer_done=it + 1)
         save_model(workdir, m)
     _mark("em_fit")
 
     bc = spark.sparkContext.broadcast(m.payload())
 
-    # 4. mentions (entity map input) + tuples (M10/M11)
-    mentions = checkpoint(
-        spark, workdir, "mentions", tuples_mod.mentions_df(sentences, bc),
-        resume)
-    tuples = checkpoint(
-        spark, workdir, "tuples", tuples_mod.tuples_df(sentences, bc), resume)
+    # 4. mentions (entity map input) + tuples (M10/M11) — one fused
+    # extraction pass (a single Viterbi segmentation per sentence feeds
+    # both tables), checkpointed as a kind-partitioned union so each
+    # table's re-read prunes to its own files
+    extraction = checkpoint(
+        spark, workdir, "extraction",
+        tuples_mod.extraction_df(sentences, bc), resume,
+        partition_cols=["kind"])
+    mentions = extraction.filter(F.col("kind") == "m").select(
+        "url", "doc_id", "sent_id", "start", "end", "text")
+    tuples = extraction.filter(F.col("kind") == "t").select(
+        "url", "doc_id", "sent_id", "subj", "pred", "obj", "rels",
+        "subj_start", "subj_end", "obj_start", "obj_end")
     _mark("mentions_tuples")
 
     # 5. ReMine-Global (M12/M13) + ranked triples sink, subj-hash salted (S8)

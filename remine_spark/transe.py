@@ -137,6 +137,68 @@ def presum_grads(partials: DataFrame, dim: int | None = None) -> DataFrame:
 # driver-collectable and the per-epoch (E,R) broadcast stops amortizing.
 SHARD_EDGE_THRESHOLD = 5_000_000
 
+# Edge count below which the epoch loop runs driver-local: one collect of
+# the (bounded) edge table replaces per-epoch broadcast+job+shuffle+collect
+# rounds, whose fixed session overhead dominated training wall at small
+# scale (~2 s/epoch of pure scheduling). Bit-identical to the distributed
+# path: the SAME batch kernel runs over pandas chunks, and gradient
+# components are integer-valued doubles (sums of ±1 margin signs), so the
+# partial reduction is exact in any order (see presum_grads). Bounded
+# collect: ≤ 200k rows × 4 narrow columns.
+LOCAL_EDGE_THRESHOLD = 200_000
+
+
+def _batch_grads(pdf: pd.DataFrame, E, R, e2i, r2i, n_ent: int,
+                 epoch: int, margin: float, sample_fraction: float
+                 ) -> pd.DataFrame | None:
+    """Gradient partials for ONE edge batch — the single source of the
+    TransE epoch math, shared by the distributed mapInPandas kernel and
+    the driver-local small-edge-table fast path (identical results by
+    construction). Returns a compacted (kind, idx, g) frame or None."""
+    hi = pdf["subj"].map(e2i).to_numpy(dtype=np.int64)
+    ri = pdf["rel"].map(r2i).to_numpy(dtype=np.int64)
+    ti = pdf["obj"].map(e2i).to_numpy(dtype=np.int64)
+    # splitmix-style epoch mix of the precomputed base hash
+    # (constants folded in Python ints — intended mod-2^64 wrap)
+    key = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64).copy()
+    key += np.uint64((epoch * 0x9E3779B97F4A7C15) % (1 << 64))
+    key ^= key >> np.uint64(31)
+    key *= np.uint64(0xBF58476D1CE4E5B9)
+    key ^= key >> np.uint64(27)
+    if sample_fraction < 1.0:
+        keep = ((key % np.uint64(10_000)).astype(np.float64)
+                / 10_000.0 < sample_fraction)
+        hi, ri, ti, key = hi[keep], ri[keep], ti[keep], key[keep]
+    if hi.size == 0:
+        return None
+    corrupt_head = ((key >> np.uint64(8)) & np.uint64(1)).astype(bool)
+    ni = ((key >> np.uint64(16)) % np.uint64(n_ent)).astype(np.int64)
+    hi2 = np.where(corrupt_head, ni, hi)
+    ti2 = np.where(corrupt_head, ti, ni)
+    rr = R[ri]
+    pos = E[hi] + rr - E[ti]
+    neg = E[hi2] + rr - E[ti2]
+    loss = margin + np.abs(pos).sum(axis=1) - np.abs(neg).sum(axis=1)
+    act = loss > 0
+    if not act.any():
+        return None
+    gp = np.sign(pos[act])      # d|x|/dx
+    gn = np.sign(neg[act])
+    # scatter-add into compacted per-batch gradient rows
+    eidx = np.concatenate([hi[act], ti[act], hi2[act], ti2[act]])
+    egrd = np.concatenate([gp, -gp, -gn, gn])
+    uniq, inv = np.unique(eidx, return_inverse=True)
+    accE = np.zeros((uniq.size, E.shape[1]))
+    np.add.at(accE, inv, egrd)
+    runiq, rinv = np.unique(ri[act], return_inverse=True)
+    accR = np.zeros((runiq.size, R.shape[1]))
+    np.add.at(accR, rinv, gp - gn)
+    return pd.DataFrame({
+        "kind": ["e"] * uniq.size + ["r"] * runiq.size,
+        "idx": np.concatenate([uniq, runiq]),
+        "g": [list(v) for v in accE] + [list(v) for v in accR],
+    })
+
 
 def fit(
     spark: SparkSession, tuples: DataFrame,
@@ -226,55 +288,48 @@ def fit(
     e2i, r2i = model.ent2id, model.rel2id
     grad_schema = "kind string, idx long, g array<double>"
 
+    if n_edges <= LOCAL_EDGE_THRESHOLD:
+        # Driver-local epoch loop: one bounded collect replaces per-epoch
+        # broadcast + job + shuffle + collect rounds. Same kernel, same
+        # batch math; partial sums are exact integer-valued doubles, so
+        # the reduction order cannot change a bit (see presum_grads).
+        pdf_all = edf.select("subj", "rel", "obj", "h").toPandas()
+        base.unpersist()
+        for epoch in range(start_epoch, epochs):
+            acc: dict[tuple[str, int], np.ndarray] = {}
+            for lo in range(0, len(pdf_all), 10_000):
+                out = _batch_grads(
+                    pdf_all.iloc[lo:lo + 10_000], model.E, model.R,
+                    e2i, r2i, n_ent, epoch, margin, sample_fraction)
+                if out is None:
+                    continue
+                for kind, idx, g in zip(out["kind"], out["idx"], out["g"]):
+                    k = (kind, int(idx))
+                    prev = acc.get(k)
+                    acc[k] = np.asarray(g) if prev is None \
+                        else prev + np.asarray(g)
+            for (kind, idx), g in acc.items():
+                if kind == "e":
+                    model.E[idx] -= lr * g
+                else:
+                    model.R[idx] -= lr * g
+            model._normalize()
+            if checkpoint_path is not None and (
+                    (epoch + 1) % checkpoint_every == 0
+                    or epoch == epochs - 1):
+                save_model(model, checkpoint_path, epoch)
+        return model
+
     for epoch in range(start_epoch, epochs):
         bc = sc.broadcast((model.E, model.R))
 
         def grads(batches):
             E, R = bc.value
             for pdf in batches:
-                hi = pdf["subj"].map(e2i).to_numpy(dtype=np.int64)
-                ri = pdf["rel"].map(r2i).to_numpy(dtype=np.int64)
-                ti = pdf["obj"].map(e2i).to_numpy(dtype=np.int64)
-                # splitmix-style epoch mix of the precomputed base hash
-                # (constants folded in Python ints — intended mod-2^64 wrap)
-                key = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64).copy()
-                key += np.uint64((epoch * 0x9E3779B97F4A7C15) % (1 << 64))
-                key ^= key >> np.uint64(31)
-                key *= np.uint64(0xBF58476D1CE4E5B9)
-                key ^= key >> np.uint64(27)
-                if sample_fraction < 1.0:
-                    keep = ((key % np.uint64(10_000)).astype(np.float64)
-                            / 10_000.0 < sample_fraction)
-                    hi, ri, ti, key = hi[keep], ri[keep], ti[keep], key[keep]
-                if hi.size == 0:
-                    continue
-                corrupt_head = ((key >> np.uint64(8)) & np.uint64(1)).astype(bool)
-                ni = ((key >> np.uint64(16)) % np.uint64(n_ent)).astype(np.int64)
-                hi2 = np.where(corrupt_head, ni, hi)
-                ti2 = np.where(corrupt_head, ti, ni)
-                rr = R[ri]
-                pos = E[hi] + rr - E[ti]
-                neg = E[hi2] + rr - E[ti2]
-                loss = margin + np.abs(pos).sum(axis=1) - np.abs(neg).sum(axis=1)
-                act = loss > 0
-                if not act.any():
-                    continue
-                gp = np.sign(pos[act])      # d|x|/dx
-                gn = np.sign(neg[act])
-                # scatter-add into compacted per-batch gradient rows
-                eidx = np.concatenate([hi[act], ti[act], hi2[act], ti2[act]])
-                egrd = np.concatenate([gp, -gp, -gn, gn])
-                uniq, inv = np.unique(eidx, return_inverse=True)
-                accE = np.zeros((uniq.size, E.shape[1]))
-                np.add.at(accE, inv, egrd)
-                runiq, rinv = np.unique(ri[act], return_inverse=True)
-                accR = np.zeros((runiq.size, R.shape[1]))
-                np.add.at(accR, rinv, gp - gn)
-                yield pd.DataFrame({
-                    "kind": ["e"] * uniq.size + ["r"] * runiq.size,
-                    "idx": np.concatenate([uniq, runiq]),
-                    "g": [list(v) for v in accE] + [list(v) for v in accR],
-                })
+                out = _batch_grads(pdf, E, R, e2i, r2i, n_ent,
+                                   epoch, margin, sample_fraction)
+                if out is not None:
+                    yield out
 
         # JVM-side elementwise pre-sum: one shuffled row per touched
         # parameter reaches the driver (never one per batch partial);

@@ -151,3 +151,51 @@ def tuples_df(sentences: DataFrame, bc_model) -> DataFrame:
     cols = sentences.select("url", "doc_id", "sent_id", "tokens", "pos",
                             "dep_head", "dep_type")
     return cols.mapInPandas(run, schema=TUPLES_SCHEMA)
+
+
+EXTRACTION_SCHEMA = (
+    "url string, doc_id long, sent_id int, kind string, "
+    "start int, end int, text string, "
+    "subj string, pred string, obj string, rels array<string>, "
+    "subj_start int, subj_end int, obj_start int, obj_end int"
+)
+
+_EXTRACTION_COLS = [f.strip().split(" ")[0]
+                    for f in EXTRACTION_SCHEMA.split(",")]
+
+
+def extraction_df(sentences: DataFrame, bc_model) -> DataFrame:
+    """Fused mention + tuple pass: ONE Viterbi segmentation per sentence
+    feeds BOTH tables, emitted as a tagged union (kind 'm' = mention row,
+    kind 't' = tuple row). Previously ``mentions_df`` and ``tuples_df``
+    were two separate corpus jobs and the tuples pass re-derived every
+    mention internally — the fused kernel does the shared work once and
+    halves the corpus scans for the stage. The pipeline checkpoints this
+    union partitioned by ``kind`` so each downstream table re-reads only
+    its own files (partition pruning)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = bc_model.value
+        for pdf in batches:
+            rows = []
+            for url, did, sid, toks, pos, heads, types in zip(
+                pdf["url"], pdf["doc_id"], pdf["sent_id"],
+                pdf["tokens"], pdf["pos"], pdf["dep_head"], pdf["dep_type"],
+            ):
+                ments, tups = extract_tuples_py(
+                    list(toks), list(pos), list(heads), list(types), m)
+                for (s, e, text) in ments:
+                    rows.append((url, did, sid, "m", int(s), int(e), text,
+                                 None, None, None, None,
+                                 None, None, None, None))
+                for (subj, pred, obj, rels, sspan, ospan) in tups:
+                    rows.append((url, did, sid, "t", None, None, None,
+                                 subj, pred, obj, rels,
+                                 int(sspan[0]), int(sspan[1]),
+                                 int(ospan[0]), int(ospan[1])))
+            if rows:
+                yield pd.DataFrame(rows, columns=_EXTRACTION_COLS)
+
+    cols = sentences.select("url", "doc_id", "sent_id", "tokens", "pos",
+                            "dep_head", "dep_type")
+    return cols.mapInPandas(run, schema=EXTRACTION_SCHEMA)

@@ -120,3 +120,21 @@ def test_pipeline_sharded_transe_smoke(spark, tmp_path):
     ta = sorted(map(tuple, a["triples"].select(*cols).collect()))
     tb = sorted(map(tuple, b["triples"].select(*cols).collect()))
     assert ta == tb
+
+
+def test_local_fast_path_bit_identical_to_distributed(spark, tmp_path,
+                                                      monkeypatch):
+    """Small edge tables train driver-local (no per-epoch Spark jobs);
+    the result must be bit-identical to the distributed broadcast path —
+    same kernel, exact integer-valued partial sums, so any divergence is
+    a bug in the fast path's chunking or update application."""
+    pages = synth.pages_df(spark, N_DOCS, seed=42, num_partitions=4)
+    out = pipeline.run_pipeline(spark, pages, str(tmp_path / "wd"),
+                                inner_iters=2, transe_epochs=2, resume=False)
+    tuples = out["tuples"]
+    a = transe.fit(spark, tuples, dim=8, epochs=4)  # local at this scale
+    monkeypatch.setattr(transe, "LOCAL_EDGE_THRESHOLD", -1)
+    b = transe.fit(spark, tuples, dim=8, epochs=4)  # distributed broadcast
+    assert a.ent2id == b.ent2id and a.rel2id == b.rel2id
+    assert np.array_equal(a.E, b.E), np.abs(a.E - b.E).max()
+    assert np.array_equal(a.R, b.R)
