@@ -18,9 +18,11 @@ Scale notes (100 TB):
   LSH buckets (never a global cross join). A pathological bucket (all-empty
   docs hashing identically) is exact-dup territory — run dedup_exact first,
   and AQE skew-join splitting covers the rest.
-- Pair join is self-join on band signature: at 10^12 docs, bucket join is
-  sort-merge on the band key; signatures (16×8B) are small enough that the
-  bands table is ~128 B/doc.
+- Pair generation is ONE bucket aggregation on the band key
+  (operators/banding.py): the scan+signature plan executes once and one
+  exchange replaces a self-join's two (a self-join re-runs the whole
+  signature subtree on both sides — Catalyst has no cross-side subplan
+  reuse). Signatures (16×8B) keep the band rows at ~40 B/doc/band.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ import pandas as pd
 from pyspark.sql import functions as F, types as T
 
 from remine_spark.catalog import h32_duck, h32_spark, query, table
+from remine_spark.operators.banding import bucket_pairs
 
 N_HASH = 16
 N_BANDS = 4
@@ -135,14 +138,13 @@ _DUCK_BANDS = f"""
 """)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates: word-bigram shingles → 16 minhashes
-    → 4 bands × 4 rows → bucket self-join. Shuffle key = (b, bsig)."""
+    → 4 bands × 4 rows → in-bucket pair generation (banding.bucket_pairs:
+    one exchange on (b, bsig); a band self-join would run the whole
+    scan+md5+signature subtree twice)."""
     bands = _bands_df(spark, sf_dir)
-    a = bands.alias("a")
-    c = bands.select(F.col("doc_id").alias("doc_b"), "b", "bsig").alias("c")
     return (
-        a.join(c, (F.expr("a.b = c.b and a.bsig = c.bsig")
-                   & (F.col("a.doc_id") < F.col("doc_b"))))
-        .select(F.col("a.doc_id").alias("doc_a"), "doc_b")
+        bucket_pairs(bands, ["b", "bsig"], "doc_id")
+        .select(F.col("pa.i").alias("doc_a"), F.col("pb.i").alias("doc_b"))
         .distinct()
     )
 
@@ -261,14 +263,13 @@ def simhash_band_candidates(spark, sf_dir, nbits: int = SIM_BITS,
         F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("b"),
     ).withColumn("bv", F.expr(f"shiftright(simhash, cast(b*{bb} as int)) "
                               f"& {mask}"))
-    a = bands.alias("a")
-    c = bands.select(F.col("doc_id").alias("doc_b"),
-                     F.col("simhash").alias("sim_b"), "b", "bv").alias("c")
+    # in-bucket pair generation: the simhash explode+groupBy chain runs
+    # once (a band self-join would execute it on both sides)
     return (
-        a.join(c, (F.expr("a.b = c.b and a.bv = c.bv")
-                   & (F.col("a.doc_id") < F.col("doc_b"))))
-        .select(F.col("a.doc_id").alias("doc_a"), "doc_b",
-                F.col("a.simhash").alias("sim_a"), "sim_b")
+        bucket_pairs(bands, ["b", "bv"], "doc_id", payload=("simhash",))
+        .select(F.col("pa.i").alias("doc_a"), F.col("pb.i").alias("doc_b"),
+                F.col("pa.simhash").alias("sim_a"),
+                F.col("pb.simhash").alias("sim_b"))
         .distinct()
     )
 

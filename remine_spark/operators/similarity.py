@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import Window, functions as F
 
 from remine_spark.catalog import query, table
+from remine_spark.operators.banding import bucket_pairs
 
 DIM = 64
 N_PLANES = 8
@@ -251,23 +252,33 @@ def near_dup_candidates(spark, sf_dir, n_planes: int = ND_PLANES,
     bb = n_planes // n_bands
     mask = (1 << bb) - 1
     emb = table(spark, sf_dir, "embeddings")
-    vb_df = (emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
-             .withColumn("bucket", _bucket_udf(n_planes)(F.col("v"))))
-    bands = vb_df.select(
-        "vec_id", "v", "bucket",
-        F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band_id"),
-    ).withColumn(
-        "bv",
-        F.expr(f"shiftright(bucket, cast(({n_bands - 1} - band_id) * {bb} "
-               f"as int)) & {mask}")).drop("bucket")
-    a = bands.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("qv"),
-                     "band_id", "bv")
-    b = bands.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v"),
-                     "band_id", "bv")
+    # band rows are LIGHT (vec_id, band_id, bv): the Arrow bucket kernel
+    # runs once (a band self-join would run it on both sides), and the
+    # 64-double vectors never ride the band exchange or the pair DISTINCT —
+    # they join back by vec_id only for the verify, the same
+    # candidates→verify shape as dedup_minhash_jaccard
+    bands = (
+        emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
+        .withColumn("bucket", _bucket_udf(n_planes)(F.col("v")))
+        .select(
+            "vec_id", "bucket",
+            F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band_id"))
+        .withColumn(
+            "bv",
+            F.expr(f"shiftright(bucket, cast(({n_bands - 1} - band_id) * {bb} "
+                   f"as int)) & {mask}")).drop("bucket")
+    )
+    pairs = (
+        bucket_pairs(bands, ["band_id", "bv"], "vec_id")
+        .select(F.col("pa.i").alias("vec_a"), F.col("pb.i").alias("vec_b"))
+        .distinct()
+    )
+    v = emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
     return (
-        a.join(b, ["band_id", "bv"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .dropDuplicates(["vec_a", "vec_b"])
+        pairs
+        .join(v.select(F.col("vec_id").alias("vec_a"),
+                       F.col("v").alias("qv")), "vec_a")
+        .join(v.select(F.col("vec_id").alias("vec_b"), "v"), "vec_b")
     )
 
 

@@ -51,6 +51,30 @@ def test_ann_cosine_topk_partial_window_group_limit(spark):
     assert "Partial" in plan
 
 
+def test_lsh_pair_gen_runs_signature_plan_once(spark):
+    """LSH pair generation must NOT self-join the band table: a self-join
+    executes the whole scan+signature subtree on both sides (two corpus
+    scans, two Arrow kernels). banding.bucket_pairs aggregates each bucket
+    once, so exactly one signature pass appears in the plan."""
+    from remine_spark.operators import dedup
+
+    def simple_plan(df) -> str:
+        # "simple" prints each physical node exactly once ("formatted"
+        # repeats every node in its details section)
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple")
+
+    plan = simple_plan(dedup.dedup_minhash_lsh(spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") == 1  # one minhash kernel
+    assert plan.count("Scan parquet") == 1     # one documents scan
+
+    plan = simple_plan(similarity.near_dup_candidates(spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") == 1  # one sign-bucket kernel
+
+    plan = simple_plan(dedup.simhash_band_candidates(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1     # one simhash agg chain
+
+
 def test_graph_iterative_loops_bound_plan_depth(spark):
     """Lineage truncation (localCheckpoint every 5 rounds) keeps the
     analyzed-plan size roughly constant in the iteration count — without
