@@ -47,14 +47,15 @@ _DUCK_EDGES = f"""
 def edges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic co-occurrence edge list (a < b, freq ≥ threshold)."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.expr("filter(split(text,' '), x -> x != '')"))
-        .alias("i", "tok"))
-    nxt = toks.select("doc_id", (F.col("i") - 1).alias("i"),
-                      F.col("tok").alias("tok2"))
+    # adjacent pairs via element_at on the carried token array — one
+    # codegen'd scan; the old (doc_id, i) self-join shuffled the exploded
+    # token table twice just to pair neighbours
+    arr = d.select(F.expr("filter(split(text,' '), x -> x != '')")
+                   .alias("toks"))
     return (
-        toks.join(nxt, ["doc_id", "i"])
+        arr.select("toks", F.posexplode("toks").alias("i", "tok"))
+        .filter(F.col("i") + 2 <= F.size("toks"))
+        .select("tok", F.element_at("toks", F.col("i") + 2).alias("tok2"))
         .filter(F.col("tok") != F.col("tok2"))
         .select(F.least("tok", "tok2").alias("a"),
                 F.greatest("tok", "tok2").alias("b"))

@@ -198,7 +198,12 @@ def j2_subpattern_join(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("ord", "tok"))
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    # uni feeds BOTH broadcast sides below; without materialization each
+    # BroadcastExchange re-runs the full corpus scan+agg (no cross-side
+    # subplan reuse, probed empirically). Lazy localCheckpoint computes it
+    # once on first use; the vocab-sized result then serves both builds.
+    uni = (toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+           .localCheckpoint(eager=False))
     # adjacent pairs via element_at on the carried token array — one
     # codegen'd scan instead of a (doc_id, ord) self-join shuffle
     arr = d.select(F.split("text", " ").alias("toks"))
