@@ -176,10 +176,25 @@ def dedup_minhash_jaccard(spark, sf_dir):
         .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
     )
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    # melt each pair to (pair, side, doc_id), join the shingle table ONCE,
+    # and pivot the two sides back — joining sh per side would run the
+    # tokenize+shingle corpus pass twice and shuffle it twice
+    melted = pairs.select(
+        "doc_a", "doc_b",
+        F.explode(F.expr(
+            "array(struct('a' as side, doc_a as doc_id), "
+            "struct('b' as side, doc_b as doc_id))")).alias("m"),
+    ).select("doc_a", "doc_b", "m.side", "m.doc_id")
+    both = (
+        melted.join(sh, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first(F.when(F.col("side") == "a", F.col("shingles")),
+                     ignorenulls=True).alias("sha"),
+             F.first(F.when(F.col("side") == "b", F.col("shingles")),
+                     ignorenulls=True).alias("shb"))
+    )
     return (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        both
         .withColumn("jaccard", F.expr(
             "round(size(array_intersect(sha, shb)) * cast(1.0 as double)"
             " / size(array_union(sha, shb)), 4)"))

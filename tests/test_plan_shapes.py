@@ -74,6 +74,12 @@ def test_lsh_pair_gen_runs_signature_plan_once(spark):
     plan = simple_plan(dedup.simhash_band_candidates(spark, SF_DIR))
     assert plan.count("Scan parquet") == 1     # one simhash agg chain
 
+    # two-phase verify: one signature pass (candidates) + one shingle
+    # pass (melt-join-pivot verify) — never a per-side shingle join
+    plan = simple_plan(dedup.dedup_minhash_jaccard(spark, SF_DIR))
+    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("Scan parquet") == 2
+
 
 def test_graph_iterative_loops_bound_plan_depth(spark):
     """Lineage truncation (localCheckpoint every 5 rounds) keeps the
