@@ -36,3 +36,22 @@ def test_simhash_candidates_shrink_with_band_bits(spark):
 def test_defaults_are_at_least_8_bits_per_band():
     assert similarity.ND_PLANES // similarity.ND_BANDS >= 8
     assert dedup.SIM_BAND_BITS >= 8
+
+
+def test_bucket_kernel_bit_identical_to_hof(spark):
+    # ann_lsh_* and near_dup compute sign buckets with the Arrow kernel;
+    # _bucket_spark is the reference HOF fold. The kernel's cumsum uses the
+    # same left-to-right rounding chain, so buckets must match bit-for-bit
+    # at every plane count in use.
+    from pyspark.sql import functions as F
+
+    from remine_spark.catalog import table
+
+    emb = table(spark, SF, "embeddings")
+    v = emb.select("vec_id", F.expr(similarity._V_SPARK).alias("v"))
+    for planes in (8, 16):
+        hof = v.select("vec_id",
+                       F.expr(similarity._bucket_spark(planes)).alias("b1"))
+        ker = v.select("vec_id",
+                       similarity._bucket_udf(planes)(F.col("v")).alias("b2"))
+        assert hof.join(ker, "vec_id").filter("b1 <> b2").count() == 0
