@@ -226,25 +226,28 @@ _DUCK_SIMHASH = _duck_simhash()
 
 def simhash_df(spark, sf_dir, nbits: int = 32, hexchars: int = 8):
     """Width-parameterized SimHash per document (token-multiplicity ±1
-    votes per bit). Formulated as explode → distributed groupBy
-    (doc_id, bit) → sum, i.e. partial aggregation map-side; no per-row
-    Python. At 100 TB the shuffle key (doc_id, b) is perfectly uniform."""
+    votes per bit). ONE groupBy(doc_id) carries nbits conditional-sum
+    buffers (codegen'd hash agg with map-side partial combine), so the
+    token rows shuffle once — the earlier bit-explode formulation pushed
+    tokens × nbits rows through a (doc_id, bit) shuffle and then a second
+    (doc_id) shuffle. Vote sums are integers, so the result is
+    bit-identical. At 100 TB the shuffle key (doc_id) is perfectly
+    uniform."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("tok"))
     tok = tok.withColumn(
         "h", F.expr(f"cast(conv(substr(md5(tok),1,{hexchars}),16,10) "
                     "as bigint)"))
-    bits = tok.select("doc_id", "h",
-                      F.explode(F.expr(f"sequence(0, {nbits - 1})")).alias("b"))
-    bitvals = bits.groupBy("doc_id", "b").agg(
-        F.expr(
-            "case when sum(case when (shiftright(h, cast(b as int)) & 1) = 1 "
-            "then 1 else -1 end) > 0 "
-            "then shiftleft(cast(1 as bigint), cast(b as int)) "
-            "else cast(0 as bigint) end"
-        ).alias("bitval"))
-    return bitvals.groupBy("doc_id").agg(
-        F.sum("bitval").cast("bigint").alias("simhash"))
+    votes = tok.groupBy("doc_id").agg(*[
+        F.expr(f"sum(case when (shiftright(h, {b}) & 1) = 1 "
+               "then 1 else -1 end)").alias(f"_v{b}")
+        for b in range(nbits)])
+    fingerprint = " + ".join(
+        f"(case when _v{b} > 0 then shiftleft(cast(1 as bigint), {b}) "
+        "else cast(0 as bigint) end)"
+        for b in range(nbits))
+    return votes.select(
+        "doc_id", F.expr(fingerprint).cast("bigint").alias("simhash"))
 
 
 @query("dedup_simhash", f"WITH {_DUCK_SIMHASH} SELECT doc_id, simhash FROM sh")
