@@ -113,10 +113,16 @@ def kg_connected_components(spark, sf_dir):
     DataFrame loop, fixpoint detected with one agg per round); the oracle
     computes the same min-reachable-label via a recursive CTE."""
     e = edges_df(spark, sf_dir)
+    # localCheckpoint (not cache) the loop bases: cache() reuses BLOCKS but
+    # leaves the full edge-derivation PLAN in place, and the loop references
+    # labels twice per round — 2^k plan growth inside each truncation
+    # window, with every leaf a parquet re-scan of the corpus (measured:
+    # ~1360 scan nodes in the returned plan at test scale). As leaves, the
+    # window's worst case is 2^5 references to an in-memory RDD scan.
     und = (e.select("a", "b").unionAll(e.select(F.col("b"), F.col("a")))
-           .distinct().cache())
+           .distinct().localCheckpoint(eager=True))
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")).cache()
+        "lbl", F.col("node")).localCheckpoint(eager=True)
     rounds = 0
     while True:
         rounds += 1
@@ -125,30 +131,34 @@ def kg_connected_components(spark, sf_dir):
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("lbl").alias("nb_lbl"))
         )
+        # eager localCheckpoint per round: materializes the node-sized
+        # label table and truncates lineage, so the loop's plan stays
+        # CONSTANT-sized in the round count (labels is referenced twice
+        # per round — with lazy caching the plan doubled every round and
+        # every leaf was a full corpus re-derivation). Standard iterative-
+        # graph practice; on a cluster with lineage-reliability
+        # requirements swap for checkpoint() on a fault-tolerant dir.
         new_labels = (
             labels.join(nb_min, "node", "left")
             .select("node", F.least("lbl", F.coalesce("nb_lbl", "lbl"))
                     .alias("lbl"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             labels.withColumnRenamed("lbl", "old").join(new_labels, "node")
             .filter("old != lbl").count()
         )
+        # safe: new_labels is independently materialized, so dropping the
+        # previous round's blocks cannot force a recompute of its
+        # (truncated) lineage
         labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-        if rounds % 5 == 0:
-            # truncate lineage: each round otherwise nests the previous
-            # round's plan, so analysis time / stack depth grow with graph
-            # diameter even though the DATA is fixpoint-bounded. (On a
-            # cluster with lineage-reliability requirements swap for
-            # checkpoint() on a fault-tolerant dir — same call shape.)
-            prev = labels
-            labels = labels.localCheckpoint(eager=True)
-            prev.unpersist()
-    und.unpersist()
+    # no und.unpersist(): the final labels checkpoint no longer references
+    # it, but intermediate state is gone only when the ContextCleaner
+    # reclaims it — explicit unpersist of a localCheckpoint'd RDD that a
+    # live plan might still read risks an unrecomputable scan
     return labels.select("node", F.col("lbl").alias("comp"))
 
 
@@ -177,11 +187,15 @@ def kg_pagerank(spark, sf_dir, iters: int = 10, damping: float = 0.85):
     (sum≈n_nodes, positivity, hub ordering vs degree) are also pytested."""
     e = edges_df(spark, sf_dir)
     und = e.select("a", "b").unionAll(e.select(F.col("b"), F.col("a")))
+    # loop bases as plan leaves (see kg_connected_components note): both
+    # are re-referenced every round, so cache() alone still grows the
+    # returned plan by one full edge derivation per reference
     deg = und.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")).cache()
+        F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
     ranks = deg.select("node", F.lit(1.0).alias("rank"))
     out_edges = und.join(deg, und.a == deg.node).select(
-        F.col("a").alias("src"), F.col("b").alias("dst"), "deg").cache()
+        F.col("a").alias("src"), F.col("b").alias("dst"), "deg")\
+        .localCheckpoint(eager=True)
     for i in range(iters):
         contribs = (
             out_edges.join(ranks, out_edges.src == ranks.node)
@@ -197,6 +211,6 @@ def kg_pagerank(spark, sf_dir, iters: int = 10, damping: float = 0.85):
             # bound the nested-plan depth at ≤5 iterations regardless of
             # the iteration count (see kg_connected_components note)
             ranks = ranks.localCheckpoint(eager=True)
-    out_edges.unpersist()
-    deg.unpersist()
+    # no unpersist on the checkpoint leaves — the returned plan still
+    # reads them (see kg_connected_components note)
     return ranks.select("node", F.round("rank", 6).alias("rank"))

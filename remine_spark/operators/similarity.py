@@ -175,8 +175,12 @@ def ann_lsh_topk(spark, sf_dir):
     multiprobe. Join is an equi-join on bucket (sort-merge at scale,
     broadcast here since the query side is tiny)."""
     emb = table(spark, sf_dir, "embeddings")
+    # coalesce makes the join key non-nullable (the kernel never yields
+    # null), so the inner join's inferred isnotnull(bucket) constant-folds
+    # away — otherwise ExtractPythonUDFs evaluates the kernel TWICE per
+    # side: once for the pushed-down null filter, once for the projection
     vb = emb.select("vec_id", F.expr(_V_SPARK).alias("v")).withColumn(
-        "bucket", _bucket_udf(N_PLANES)(F.col("v")))
+        "bucket", F.coalesce(_bucket_udf(N_PLANES)(F.col("v")), F.lit(-1)))
     q = vb.filter("vec_id < 10").select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket")
     s = (

@@ -94,3 +94,13 @@ def test_graph_iterative_loops_bound_plan_depth(spark):
     # 16 iters without truncation would be ~3x the 6-iter plan; with a
     # checkpoint every 5 rounds both tails hold ≤ 5 nested rounds
     assert size_big < 2 * size_small
+
+    # connected components checkpoints every round (labels is referenced
+    # twice per round — lazy caching doubled the plan per round, every
+    # leaf a full corpus re-derivation: ~1360 scan nodes measured); the
+    # returned plan must read only checkpoint leaves, zero parquet scans
+    cc = graph.kg_connected_components(spark, SF_DIR)
+    cc_plan = cc._sc._jvm.PythonSQLUtils.explainString(
+        cc._jdf.queryExecution(), "simple")
+    assert cc_plan.count("Scan parquet") == 0
+    assert "ExistingRDD" in cc_plan
