@@ -273,12 +273,23 @@ def near_dup_candidates(spark, sf_dir, n_planes: int = ND_PLANES,
         .select(F.col("pa.i").alias("vec_a"), F.col("pb.i").alias("vec_b"))
         .distinct()
     )
+    # melt each pair to (side, vec_id), join the vector table ONCE, pivot
+    # the sides back (dedup_minhash_jaccard's verify shape) — joining per
+    # side would scan and shuffle the embeddings table twice
+    melted = pairs.select(
+        "vec_a", "vec_b",
+        F.explode(F.expr(
+            "array(struct('a' as side, vec_a as vec_id), "
+            "struct('b' as side, vec_b as vec_id))")).alias("m"),
+    ).select("vec_a", "vec_b", "m.side", "m.vec_id")
     v = emb.select("vec_id", F.expr(_V_SPARK).alias("v"))
     return (
-        pairs
-        .join(v.select(F.col("vec_id").alias("vec_a"),
-                       F.col("v").alias("qv")), "vec_a")
-        .join(v.select(F.col("vec_id").alias("vec_b"), "v"), "vec_b")
+        melted.join(v, "vec_id")
+        .groupBy("vec_a", "vec_b")
+        .agg(F.first(F.when(F.col("side") == "a", F.col("v")),
+                     ignorenulls=True).alias("qv"),
+             F.first(F.when(F.col("side") == "b", F.col("v")),
+                     ignorenulls=True).alias("v"))
     )
 
 
