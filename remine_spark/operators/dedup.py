@@ -256,8 +256,9 @@ def dedup_simhash(spark, sf_dir):
     return simhash_df(spark, sf_dir, nbits=32, hexchars=8)
 
 
-# Pair-generation gate: the band key must carry ~log₂(N_docs) bits or the
-# band self-join degenerates toward N²/2^bits candidate pairs. Defaults:
+# Pair-generation gate: the band key must carry ~log₂(N_docs) bits or
+# in-bucket pair generation degenerates toward N²/2^bits candidate pairs
+# (and the per-bucket member arrays grow with N). Defaults:
 # a 60-bit fingerprint (15 md5 hex chars — the widest that stays positive
 # in a signed BIGINT on both engines) split into 4 bands × 15 bits
 # (32k-value band keys). All three are parameters; the oracle SQL is
