@@ -69,6 +69,12 @@ def _tree_to_string(children: dict[int, list[int]], u: int) -> str:
 # the hot path of every EM/segmentation pass (profiled: tree_signature
 # was 69% of the Viterbi kernel before memoization).
 _SIG_MEMO: dict[tuple, str] = {}
+# On THIS corpus the clamped key space is a few hundred shapes, but a
+# worker process lives for the executor's lifetime and adversarial web
+# text (pathological parses, long sentences when max_len grows) could
+# grow the memo without bound. Hard cap: reset when full — the kernel is
+# correct without the memo, so a reset only costs recomputation.
+_SIG_MEMO_CAP = 1_000_000
 
 
 def tree_signature(deps: list[tuple[int, int]], start: int, end: int) -> str:
@@ -103,6 +109,8 @@ def tree_signature(deps: list[tuple[int, int]], start: int, end: int) -> str:
             if a not in is_root:
                 children.setdefault(0, []).append(a)
         sig = _tree_to_string(children, 0)
+        if len(_SIG_MEMO) >= _SIG_MEMO_CAP:
+            _SIG_MEMO.clear()
         _SIG_MEMO[key] = sig
     return sig
 

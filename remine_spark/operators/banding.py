@@ -7,14 +7,23 @@ sides re-scan the corpus and re-run the signature kernel (md5-per-shingle /
 Arrow sign-bucket), and the join shuffles the band table through two
 exchanges. Grouping each bucket's members once replaces all of that with a
 single exchange on the band key; the ordered pairs are generated JVM-side
-from the per-bucket array.
+as STREAMED rows (chained generators), never as one materialized O(k²)
+array.
 
-Bucket cardinality is O(1) by construction — band-key bits are sized
-~log2(N) (tests/test_band_width_scaling.py asserts candidates shrink ~2^Δ
-as bits grow), so the per-bucket array and its O(k²) pair expansion stay
-constant-sized as the corpus grows. A pathological giant bucket means
-exact-duplicate territory — run dedup_exact first (see the scale notes in
-operators/dedup.py).
+Hot buckets: band-key bits are sized ~log2(N) so RANDOM collisions stay
+O(1) per bucket (tests/test_band_width_scaling.py asserts candidates shrink
+~2^Δ as bits grow), but LSH deliberately concentrates near-duplicate
+clusters — a templated web page with 100k near-identical copies lands its
+whole cluster in one bucket, and dedup_exact does not remove near-dups.
+The pair generator therefore must never hold a bucket's k(k-1)/2 pairs in
+one value: the chained posexplode → prefix-slice explode below keeps
+per-row state at O(k) (the sorted member array) and streams pairs out of
+the generator, so a pathological bucket is throughput-bound, not
+memory-bound. (An earlier formulation flattened all pairs into ONE array
+value — 2 GB array-limit/OOM territory at ~65k members.) The remaining
+single-task k² row cost for a true giant cluster is the operator's declared
+semantics; pipelines should run dedup_exact first so only near-dup
+(not identical) clusters reach the LSH stage.
 """
 
 from __future__ import annotations
@@ -37,11 +46,13 @@ def bucket_pairs(bands: DataFrame, keys: list[str], id_col: str,
         .filter(F.size("xs") >= 2)
     )
     # xs is sorted by id (struct order: i is the first field; ids are
-    # unique per bucket, so payload fields never tie-break), hence pairing
-    # each prefix element with xs[j] yields exactly the i < j pairs
-    pairs = F.expr(
-        "flatten(transform(sequence(2, size(xs)), j -> "
-        "transform(slice(xs, 1, j - 1), x -> "
-        "struct(x AS pa, element_at(xs, j) AS pb))))")
-    return (buckets.select(F.explode(pairs).alias("p"))
-            .select("p.pa", "p.pb"))
+    # unique per bucket, so payload fields never tie-break). Pairing each
+    # element xs[j] (0-based j ≥ 1) with every element of its prefix
+    # slice(xs, 1, j) yields exactly the i < j pairs. Both Generate nodes
+    # pipeline in the same stage: rows stream out with O(k) per-row state
+    # (see module docstring — never one O(k²) array value per bucket).
+    return (
+        buckets.select("xs", F.posexplode("xs").alias("j", "pb"))
+        .filter(F.col("j") >= 1)
+        .select(F.explode(F.expr("slice(xs, 1, j)")).alias("pa"), "pb")
+    )

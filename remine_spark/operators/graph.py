@@ -30,6 +30,27 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from remine_spark.catalog import query, table
 
+
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Actually free an eager localCheckpoint's blocks.
+
+    ``DataFrame.unpersist()`` is a no-op for these: it goes through the
+    cache manager, which never tracked the checkpoint RDD, so superseded
+    per-round label tables would sit in executor storage until the
+    ContextCleaner happens to GC the dereferenced RDDs — unbounded
+    accumulation on high-diameter graphs. The checkpointed RDD is the
+    LogicalRDD leaf of the analyzed plan; unpersist it directly (verified
+    to release the blocks on Spark 4.1 — a freed checkpoint is NOT
+    recomputable, so only superseded state may be passed here). Best
+    effort: LogicalRDD.rdd is internal API, so any failure degrades to
+    the old leak-until-GC behavior instead of erroring."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
 EDGE_MIN_FREQ = 60  # sf0.01-calibrated: yields a non-regular 30-node graph (deg 6-23)
 
 _DUCK_EDGES = f"""
@@ -151,14 +172,14 @@ def kg_connected_components(spark, sf_dir):
         # safe: new_labels is independently materialized, so dropping the
         # previous round's blocks cannot force a recompute of its
         # (truncated) lineage
-        labels.unpersist()
+        _free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
-    # no und.unpersist(): the final labels checkpoint no longer references
-    # it, but intermediate state is gone only when the ContextCleaner
-    # reclaims it — explicit unpersist of a localCheckpoint'd RDD that a
-    # live plan might still read risks an unrecomputable scan
+    # the final labels table is a self-contained checkpoint leaf, so the
+    # edge base can be released too; only `labels` itself must survive
+    # for the returned plan
+    _free_local_checkpoint(und)
     return labels.select("node", F.col("lbl").alias("comp"))
 
 
@@ -196,6 +217,7 @@ def kg_pagerank(spark, sf_dir, iters: int = 10, damping: float = 0.85):
     out_edges = und.join(deg, und.a == deg.node).select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "deg")\
         .localCheckpoint(eager=True)
+    prev_ckpt = None
     for i in range(iters):
         contribs = (
             out_edges.join(ranks, out_edges.src == ranks.node)
@@ -211,6 +233,10 @@ def kg_pagerank(spark, sf_dir, iters: int = 10, damping: float = 0.85):
             # bound the nested-plan depth at ≤5 iterations regardless of
             # the iteration count (see kg_connected_components note)
             ranks = ranks.localCheckpoint(eager=True)
-    # no unpersist on the checkpoint leaves — the returned plan still
-    # reads them (see kg_connected_components note)
+            if prev_ckpt is not None:
+                # the new (eager) checkpoint no longer reads the old one
+                _free_local_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
+    # deg / out_edges / the last intermediate checkpoint stay persisted —
+    # the returned plan still reads them
     return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -59,6 +59,29 @@ def test_tree_signature_external_head_clamped():
     assert algo.tree_signature(d, 0, 3) == algo.tree_signature(e, 0, 3)
 
 
+def test_sig_memo_capped_on_adversarial_corpora():
+    # A long-lived worker fed pathological parses must not grow the memo
+    # forever: when it reaches the cap it resets, and results stay
+    # correct through the reset (the memo is a pure cache).
+    old_memo, old_cap = dict(algo._SIG_MEMO), algo._SIG_MEMO_CAP
+    try:
+        algo._SIG_MEMO.clear()
+        algo._SIG_MEMO_CAP = 4
+        sigs = {}
+        for n in range(2, 12):  # 10 distinct chain shapes > cap
+            deps = [(i, i + 1) for i in range(n)]
+            sigs[n] = algo.tree_signature(deps, 0, n)
+        assert len(algo._SIG_MEMO) <= 4
+        # correctness across the reset: recompute equals first compute
+        for n, want in sigs.items():
+            deps = [(i, i + 1) for i in range(n)]
+            assert algo.tree_signature(deps, 0, n) == want
+    finally:
+        algo._SIG_MEMO_CAP = old_cap
+        algo._SIG_MEMO.clear()
+        algo._SIG_MEMO.update(old_memo)
+
+
 def test_tree_signature_order_invariant():
     # children sorted: left-heavy and right-heavy forks give same signature
     fork_l = [(0, 3), (1, 3), (2, 9)]   # 1,2 -> 3

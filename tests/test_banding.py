@@ -45,6 +45,27 @@ def test_bucket_pairs_matches_self_join_semantics(spark):
     assert len(got) == len(got_set)
 
 
+def test_bucket_pairs_hot_bucket_stays_streamable(spark):
+    """A near-dup cluster concentrates in ONE bucket (LSH working as
+    designed); the pair generator must produce that bucket's k(k-1)/2
+    pairs as streamed rows — the plan may not contain a value holding
+    all pairs of a bucket (the old flatten-of-all-pairs array), only the
+    O(k) member array per generator row."""
+    k = 300  # 44,850 pairs from one bucket
+    rows = [("hot", i, i) for i in range(k)] + [("c1", 900, 0), ("c1", 901, 1)]
+    df = spark.createDataFrame(rows, "k string, doc_id long, pay long")
+    out = bucket_pairs(df, ["k"], "doc_id", payload=("pay",))
+    got = out.select(F.col("pa.i").alias("a"), F.col("pb.i").alias("b"),
+                     "pa.pay", "pb.pay").collect()
+    got_set = {(r[0], r[1], r[2], r[3]) for r in got}
+    assert got_set == _reference_pairs(rows)
+    assert len(got) == k * (k - 1) // 2 + 1
+    # no single expression materializes the full pair set: the flatten-
+    # of-nested-transforms formulation is gone from the plan
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "flatten" not in plan.lower()
+
+
 def test_bucket_pairs_empty_and_singleton_buckets(spark):
     df = spark.createDataFrame(
         [("a", 1), ("b", 2), ("b", 3)], "k string, doc_id long")

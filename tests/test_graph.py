@@ -29,3 +29,31 @@ def test_pagerank_invariants(spark):
     hub = max(deg, key=deg.get)
     ranked = sorted(pr, key=pr.get, reverse=True)
     assert ranked.index(hub) < max(1, len(ranked) // 10)
+
+
+def test_free_local_checkpoint_releases_blocks(spark):
+    """Superseded per-round label checkpoints must actually leave executor
+    storage: DataFrame.unpersist() is a cache-manager no-op for
+    localCheckpoint blocks, so graph loops free them via the LogicalRDD
+    handle. Guards the helper AND that a full CC run leaves only its
+    bounded final state persisted."""
+    sc = spark.sparkContext
+
+    def n_persistent() -> int:
+        return sc._jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    df = spark.range(100).selectExpr("id", "id * 2 AS x") \
+        .localCheckpoint(eager=True)
+    assert n_persistent() == base + 1
+    df.unpersist()                    # documented no-op for checkpoints
+    assert n_persistent() == base + 1
+    graph._free_local_checkpoint(df)  # the real release
+    assert n_persistent() == base
+
+    before = n_persistent()
+    comp = graph.kg_connected_components(spark, "/root/testdata/sf0.001")
+    comp.collect()
+    # only the final labels checkpoint (the returned plan's leaf) may
+    # remain from the whole iterative loop
+    assert n_persistent() <= before + 1
