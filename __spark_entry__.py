@@ -24,17 +24,22 @@ from remine_spark.queries import QUERIES as _CATALOG
 from remine_spark.synth import render_html as _render_html
 
 
-def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pages_from_documents(spark: SparkSession, sf_dir: str,
+                          max_doc_id: int | None = None) -> DataFrame:
     """documents(doc_id, text, lang, ...) → pages(url, warc_ts, html, text, lang).
 
     html is the deterministic wrapper from remine_spark.synth so the
-    extractor's byte-identical invariant holds on this corpus too."""
+    extractor's byte-identical invariant holds on this corpus too.
+    ``max_doc_id`` takes a deterministic slice (a filter, never .limit(),
+    whose row choice is partition-order-dependent)."""
 
     @F.pandas_udf(T.BinaryType())
     def render(text: pd.Series) -> pd.Series:
         return text.map(_render_html)
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if max_doc_id is not None:
+        d = d.filter(F.col("doc_id") < max_doc_id)
     return d.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
@@ -49,14 +54,17 @@ def _pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENTRY_VERSION = "v5"  # v5: fused extraction checkpoint replaces mentions/tuples
 
 
-def _run_flagship(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    pages = _pages_from_documents(spark, sf_dir)
-    workdir = os.path.join(
+def _flagship_workdir(sf_dir: str) -> str:
+    return os.path.join(
         tempfile.gettempdir(),
         f"remine_entry_{_ENTRY_VERSION}_"
         + os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _run_flagship(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    pages = _pages_from_documents(spark, sf_dir)
     return _pipeline.run_pipeline(
-        spark, pages, workdir,
+        spark, pages, _flagship_workdir(sf_dir),
         inner_iters=2, transe_epochs=5, resume=True)
 
 
@@ -105,6 +113,33 @@ def _remine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("value", F.round("value", 6))
 
 
+def _streaming_kg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Structured-Streaming seam under the driver gate (rows-only —
+    a foreachBatch stream is not SQL-expressible): the batch pipeline
+    trains + checkpoints the segmentation model, then a fixed slice of
+    pages "arrives" as files and run_incremental_kg drains them through
+    the FROZEN model into the epoch-partitioned triples sink
+    (streaming/kg_update.py — exactly-once per file, replayed epochs
+    overwrite their own partition). Deterministic: fixed input slice
+    (doc_id < 40), frozen model from the shared flagship workdir, seeded
+    extraction, one availableNow micro-batch → epoch_id 0."""
+    from remine_spark.streaming import kg_update
+
+    _run_flagship(spark, sf_dir)  # trains + saves the model (resume=True)
+    root = tempfile.mkdtemp(prefix="remine_stream_entry_")
+    in_dir = os.path.join(root, "in")
+    out_dir = os.path.join(root, "out")
+    ck_dir = os.path.join(root, "ckpt")
+    _pages_from_documents(spark, sf_dir, max_doc_id=40) \
+        .write.mode("overwrite").parquet(in_dir)
+    kg_update.run_incremental_kg(
+        spark, in_dir, out_dir, ck_dir, _flagship_workdir(sf_dir))
+    # bucket is dropped: it hashes against the session's parallelism-
+    # derived bucket count, which is environment- not data-determined
+    return spark.read.parquet(out_dir).select(
+        "url", "doc_id", "sent_id", "subj", "pred", "obj", "epoch_id")
+
+
 def _correctness_history() -> dict[str, int]:
     """name → latest round with a *usable* driver CORRECTNESS row.
 
@@ -149,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remine_entities": _remine_entities,
         "remine_edges": _remine_edges,
         "remine_embeddings": _remine_embeddings,
+        "streaming_kg_update": _streaming_kg_update,
     }
     for name, spec in _CATALOG.items():
         if name not in base:

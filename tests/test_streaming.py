@@ -181,3 +181,20 @@ def test_epoch_replay_is_idempotent(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == n1 * 2
     assert got.filter("epoch_id = 0").count() == n1
+
+
+def test_streaming_kg_update_catalog_entry(spark):
+    """VERDICT r4 item 5: the streaming seam is registered under the
+    driver's correctness gate (rows-only). The catalog callable must be
+    self-contained — train/reuse the flagship model, stream a fixed page
+    slice through the frozen model, return a stable scalar-column frame."""
+    import __spark_entry__ as entry
+
+    fn = entry.queries()["streaming_kg_update"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    assert df.schema.simpleString() == (
+        "struct<url:string,doc_id:bigint,sent_id:int,subj:string,"
+        "pred:string,obj:string,epoch_id:int>")
+    assert df.count() > 0
+    # rows-only by design: a foreachBatch stream has no DuckDB oracle
+    assert "streaming_kg_update" not in entry.oracle_sql()

@@ -138,3 +138,35 @@ def test_local_fast_path_bit_identical_to_distributed(spark, tmp_path,
     assert a.ent2id == b.ent2id and a.rel2id == b.rel2id
     assert np.array_equal(a.E, b.E), np.abs(a.E - b.E).max()
     assert np.array_equal(a.R, b.R)
+
+
+def test_auto_dispatch_crosses_shard_threshold(spark, tmp_path, monkeypatch):
+    """VERDICT r4 item 2: the param_shard=None AUTO dispatch itself —
+    not a forced path — must route past-threshold edge tables to
+    _fit_sharded. The threshold is monkeypatched DOWN so this corpus
+    crosses it naturally; the dispatched result must equal the broadcast
+    path bit-for-bit (same contract as the forced-path test)."""
+    pages = synth.pages_df(spark, N_DOCS, seed=42, num_partitions=4)
+    out = pipeline.run_pipeline(spark, pages, str(tmp_path / "wd"),
+                                inner_iters=2, transe_epochs=2, resume=False)
+    tuples = out["tuples"]
+    n_edges = transe.edges_from_tuples(tuples).count()
+    assert n_edges > 8  # the monkeypatched threshold must actually trip
+
+    calls = []
+    real = transe._fit_sharded
+
+    def spy(*args, **kwargs):
+        calls.append(True)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(transe, "_fit_sharded", spy)
+    monkeypatch.setattr(transe, "SHARD_EDGE_THRESHOLD", 8)
+    auto = transe.fit(spark, tuples, dim=8, epochs=2)  # param_shard=None
+    assert calls, "auto dispatch did not choose the sharded path"
+
+    monkeypatch.setattr(transe, "SHARD_EDGE_THRESHOLD", 5_000_000)
+    bcast = transe.fit(spark, tuples, dim=8, epochs=2, param_shard=False)
+    assert auto.ent2id == bcast.ent2id and auto.rel2id == bcast.rel2id
+    assert np.array_equal(auto.E, bcast.E)
+    assert np.array_equal(auto.R, bcast.R)
