@@ -343,17 +343,98 @@ def embedding_near_dup(spark, sf_dir, n_planes: int = ND_PLANES,
     )
 
 
-@query("ann_ivf_topk", None)  # rows-only: the oracle cannot replicate KMeans
-def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: k-means coarse quantizer (pyspark.ml, seeded) → probe the
-    query's cell → exact cosine top-k within it. The classic
-    inverted-file index: candidate count drops by ~n_cells; recall is
-    tunable via nprobe (here 1) and n_cells. Clustering is one
-    ml job; cell assignment is a broadcast-model JVM transform; the probe
-    join is an equi-join on cell id (sort-merge at scale).
+def _ivf_cells_spark() -> str:
+    """Centroid literals as array<struct<i, w>> for the Spark plan."""
+    from remine_spark.operators.ivf_centroids import IVF_CENTROIDS
 
-    Rows-only driver check (KMeans is not SQL-expressible in DuckDB);
-    determinism: fixed seed + fixed input → stable centroids locally."""
+    return "array(" + ",".join(
+        f"struct({i} as i, array("
+        + ",".join(f"{w}D" for w in row) + ") as w)"
+        for i, row in enumerate(IVF_CENTROIDS)) + ")"
+
+
+# argmin over squared-L2 to each centroid literal; array_min on
+# struct<d, cell> breaks exact-distance ties on the lower cell id —
+# the same (d, cell) ordering the oracle's row_number uses
+_ASSIGN_SPARK = (
+    "array_min(transform(" + "{cents}" + ", c -> struct("
+    "aggregate(zip_with(v, c.w, (x, y) -> (x-y)*(x-y)), 0.0D, "
+    "(acc, x2) -> acc + x2) as d, c.i as cell))).cell")
+
+
+def _ivf_sql() -> str:
+    from remine_spark.operators.ivf_centroids import IVF_CENTROIDS
+
+    rows = ",\n        ".join(
+        f"({i}, [" + ",".join(f"CAST({w} AS DOUBLE)" for w in row) + "])"
+        for i, row in enumerate(IVF_CENTROIDS))
+    return f"""
+    WITH v AS (SELECT vec_id, {_V_DUCK} AS v FROM embeddings),
+    cents AS (SELECT * FROM (VALUES
+        {rows}) AS t(cell, w)),
+    d AS (SELECT vec_id, cell,
+          list_reduce(list_transform(range(1, {DIM + 1}),
+              i -> (v[i]-w[i])*(v[i]-w[i])), (acc, x2) -> acc + x2) AS d
+          FROM v, cents),
+    assigned AS (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d, cell) AS rn FROM d)
+          WHERE rn = 1),
+    q AS (SELECT a.vec_id AS q_id, v.v AS qv, a.cell
+          FROM assigned a JOIN v ON v.vec_id = a.vec_id
+          WHERE a.vec_id < 10),
+    s AS (SELECT q_id, a.vec_id AS cand_id, {_DOT_DUCK} AS cos
+          FROM q JOIN assigned a ON a.cell = q.cell
+          JOIN v ON v.vec_id = a.vec_id
+          WHERE a.vec_id <> q_id)
+    SELECT q_id, cand_id, cos, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, cand_id) AS rnk
+        FROM s)
+    WHERE rnk <= {TOPK_LSH}
+"""
+
+
+@query("ann_ivf_topk", _ivf_sql())
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with an offline-trained coarse quantizer: centroids are
+    INDEX PARAMETERS (KMeans k=16 seed=42, scripts/fit_ivf_centroids.py)
+    inlined as double literals, exactly like the LSH hyperplanes — real
+    IVF systems train the quantizer offline on a sample and ship it; the
+    online path is pure arithmetic. Cell assignment is a scan-side
+    argmin over squared-L2 to each centroid (codegen, no Python, no
+    shuffle); the probe is an equi-join on cell id (nprobe=1, sort-merge
+    at scale); exact cosine top-k within the cell. Candidate count drops
+    ~n_cells vs brute force. The DuckDB oracle replicates assignment and
+    probe from the SAME literals with the same left-to-right DOUBLE
+    folds, so the driver hash-checks the whole index path."""
+    from pyspark.sql import Window, functions as F
+
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = emb.select(
+        "vec_id", F.expr(_V_SPARK).alias("v")).select(
+        "vec_id", "v",
+        F.expr(_ASSIGN_SPARK.format(cents=_ivf_cells_spark())).alias("cell"))
+    q = assigned.filter("vec_id < 10").select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell")
+    s = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter("vec_id <> q_id")
+        .select("q_id", F.col("vec_id").alias("cand_id"),
+                F.expr(_DOT_SPARK).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return s.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOPK_LSH)
+
+
+def ann_ivf_topk_trained(spark, sf_dir):
+    """The in-session-trained IVF variant (pyspark.ml KMeans at query
+    time) — kept for environments where retraining the quantizer inline
+    is wanted; the registered ann_ivf_topk uses this model's centroids
+    frozen as literals. Not catalog-registered: a live KMeans fit is not
+    SQL-expressible for the oracle."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window, functions as F
