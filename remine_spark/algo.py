@@ -149,10 +149,17 @@ def viterbi_deps(
     the reference's map::operator[] default-insert quirk (GetSubtreeID is
     called on signatures absent from tree_map for gappy TUPLE_MODE spans;
     with assertions off it resolves to id 0) — we pass the id-0 signature's
-    log prob as ``default_logprob``."""
+    log prob as ``default_logprob``.
+
+    Returns (f, pre, pids) where ``pids[x]`` is the pattern id of the span
+    (pre[x], x) that wrote f[x] (-1 for the no-pattern fallback step).
+    The trie maps each token sequence to at most one id, so the recorded
+    pid is exactly what re-walking the trie over (pre[x], x) would find —
+    the backtrace needs no second trie pass."""
     n = len(tokens)
     f = [NEG_INF] * (n + 1)
     pre = [-1] * (n + 1)
+    pids = [-1] * (n + 1)
     f[0], pre[0] = 0.0, 0
     # punc prefix counts: span [i, j] contains punctuation iff
     # pc[j+1] - pc[i] > 0 — same NEG_INF semantics as punc_cost
@@ -184,10 +191,12 @@ def viterbi_deps(
                 if cand > f[j + 1]:
                     f[j + 1] = cand
                     pre[j + 1] = i
+                    pids[j + 1] = pid
         if impossible and fi > f[i + 1]:
             f[i + 1] = fi
             pre[i + 1] = i
-    return f, pre
+            pids[i + 1] = -1
+    return f, pre, pids
 
 
 def trie_lookup(trie: list, tokens: list[str], start: int, end: int) -> int:
@@ -202,17 +211,19 @@ def trie_lookup(trie: list, tokens: list[str], start: int, end: int) -> int:
 
 def backtrace_segments(
     tokens: list[str], pre: list[int], trie: list, patterns: list[tuple],
-    rp_only: bool = False,
+    rp_only: bool = False, pids: list[int] | None = None,
 ) -> list[tuple[int, int, int, bool]]:
     """Backtrace → [(start, end, pattern_id, quality_gate_passed)] in order.
 
     The gate mirrors remine.cpp:45-48: pattern found in trie, (mode 0 or
-    indicator == 'RP'), and the size-dependent quality threshold."""
+    indicator == 'RP'), and the size-dependent quality threshold. When the
+    DP's recorded ``pids`` are passed, the per-segment trie re-walk is
+    skipped (identical result — see viterbi_deps)."""
     segs = []
     i = len(tokens)
     while i > 0:
         j = pre[i]
-        pid = trie_lookup(trie, tokens, j, i)
+        pid = pids[i] if pids is not None else trie_lookup(trie, tokens, j, i)
         ok = pid >= 0
         if ok:
             toks, _freq, q, ind = patterns[pid]
@@ -231,8 +242,10 @@ def segment_sentence(
     rp_only: bool = False,
 ):
     """Viterbi + backtrace in one call. Returns (segments, energy)."""
-    f, pre = viterbi_deps(tokens, deps, trie, prob, deps_logprob, default_logprob)
-    segs = backtrace_segments(tokens, pre, trie, patterns, rp_only=rp_only)
+    f, pre, pids = viterbi_deps(
+        tokens, deps, trie, prob, deps_logprob, default_logprob)
+    segs = backtrace_segments(tokens, pre, trie, patterns,
+                              rp_only=rp_only, pids=pids)
     return segs, f[len(tokens)]
 
 

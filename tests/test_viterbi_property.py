@@ -67,7 +67,7 @@ def test_viterbi_matches_brute_force(toks, heads):
     hs = [heads.draw(st.integers(min_value=1, max_value=n + 1)) for _ in range(n)]
     deps = list(enumerate(hs))
     m = payload_from(PATTERNS, deps_prob={"(x(x(x)))": 0.3})
-    f, _pre = algo.viterbi_deps(
+    f, pre, pids = algo.viterbi_deps(
         toks, deps, m["trie"], m["prob"], m["deps_logprob"], m["default_logprob"])
     want = brute_force_best(toks, deps, m)
     got = f[n]
@@ -75,6 +75,15 @@ def test_viterbi_matches_brute_force(toks, heads):
         assert got < -1e80
     else:
         assert math.isclose(got, want, rel_tol=1e-12, abs_tol=1e-12)
+    # the DP-recorded pid of every reachable backtrace step must equal the
+    # trie re-walk over the same span (the property backtrace_segments'
+    # fast path relies on)
+    if got > -1e80:
+        i = n
+        while i > 0:
+            j = pre[i]
+            assert pids[i] == algo.trie_lookup(m["trie"], toks, j, i)
+            i = j
 
 
 def test_any_span_semantics_differs_from_unconditional_advance():
@@ -83,8 +92,11 @@ def test_any_span_semantics_differs_from_unconditional_advance():
     m = payload_from(PATTERNS)
     toks = ["acme", "globex", "acquired"]
     deps = [(0, 2), (1, 3), (2, 4)]
-    f, pre = algo.viterbi_deps(
+    f, pre, pids = algo.viterbi_deps(
         toks, deps, m["trie"], m["prob"], m["deps_logprob"], m["default_logprob"])
     assert f[3] > -1e80
     segs = algo.backtrace_segments(toks, pre, m["trie"], m["patterns"])
     assert segs  # a full segmentation exists
+    # pid fast path ≡ trie re-walk path
+    assert algo.backtrace_segments(
+        toks, pre, m["trie"], m["patterns"], pids=pids) == segs
