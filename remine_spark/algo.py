@@ -199,109 +199,6 @@ def viterbi_deps(
     return f, pre, pids
 
 
-def sentence_candidates(
-    tokens: list[str], deps: list[tuple[int, int]], trie: list,
-) -> tuple[list[bool], list[int], list[int], list[int], list[str]]:
-    """Pass-invariant Viterbi candidate table for one sentence.
-
-    Within an EM inner loop only ``deps_prob`` changes (SegModel: the trie,
-    patterns, and per-pattern log-probs are rebuilt solely at
-    rectify_frequency), so everything ``viterbi_deps`` derives from the
-    TOKENS — the trie matches, the punctuation gate, and each multi-word
-    span's dependency-tree signature — is identical on every pass of an
-    outer EM iteration. This extracts that invariant part once:
-
-    Returns ``(has_pat, cs, ce, cp, csig)`` where ``has_pat[i]`` is True
-    iff ANY trie pattern starts at i (even punc-blocked ones — they
-    suppress the no-pattern fallback step in viterbi_deps but never score),
-    and the parallel arrays list the scoreable candidates in exactly the
-    DP's emission order (start asc, then end asc): ``cs``/``ce`` =
-    [start, end), ``cp`` = pattern id, ``csig`` = the span's tree
-    signature ("" for single-token spans, which take no deps factor).
-    ``viterbi_candidates_dp`` replays the identical DP from this table."""
-    n = len(tokens)
-    pc = [0] * (n + 1)
-    for i, t in enumerate(tokens):
-        pc[i + 1] = pc[i] + (t in PUNC)
-    has_pat = [False] * n
-    cs: list[int] = []
-    ce: list[int] = []
-    cp: list[int] = []
-    csig: list[str] = []
-    for i in range(n):
-        u = trie
-        for j in range(i, n):
-            u = u[1].get(tokens[j])
-            if u is None:
-                break
-            pid = u[0]
-            if pid >= 0:
-                has_pat[i] = True
-                if j > i:
-                    if pc[j + 1] - pc[i] > 0:
-                        continue
-                    sig = tree_signature(deps, i, j + 1)
-                else:
-                    sig = ""
-                cs.append(i)
-                ce.append(j + 1)
-                cp.append(pid)
-                csig.append(sig)
-    return has_pat, cs, ce, cp, csig
-
-
-def viterbi_candidates_dp(
-    n: int,
-    has_pat: list[bool],
-    cs: list[int],
-    ce: list[int],
-    cp: list[int],
-    csig: list[str],
-    prob: list[float],
-    deps_logprob: dict[str, float],
-    default_logprob: float,
-) -> tuple[list[float], list[int], list[int], list[str]]:
-    """The viterbi_deps DP replayed over a precomputed candidate table
-    (``sentence_candidates``) — bit-identical f/pre/pids (the candidates
-    are visited in the same order with the same float arithmetic, so ties
-    resolve identically), without the per-pass trie walk, punc prefix
-    scan, or signature-memo key construction. Additionally returns
-    ``wsig[x]`` = the tree signature of the span that wrote f[x] (""
-    for single-token or fallback steps), so EM counting needs no second
-    signature pass."""
-    f = [NEG_INF] * (n + 1)
-    pre = [-1] * (n + 1)
-    pids = [-1] * (n + 1)
-    wsig = [""] * (n + 1)
-    f[0], pre[0] = 0.0, 0
-    dlp_get = deps_logprob.get
-    k, m = 0, len(cs)
-    for i in range(n):
-        fi = f[i]
-        if fi < -1e80:
-            while k < m and cs[k] == i:
-                k += 1
-            continue
-        while k < m and cs[k] == i:
-            sig = csig[k]
-            cand = fi + prob[cp[k]]
-            if sig:
-                cand += dlp_get(sig, default_logprob)
-            j1 = ce[k]
-            if cand > f[j1]:
-                f[j1] = cand
-                pre[j1] = i
-                pids[j1] = cp[k]
-                wsig[j1] = sig
-            k += 1
-        if not has_pat[i] and fi > f[i + 1]:
-            f[i + 1] = fi
-            pre[i + 1] = i
-            pids[i + 1] = -1
-            wsig[i + 1] = ""
-    return f, pre, pids, wsig
-
-
 def trie_lookup(trie: list, tokens: list[str], start: int, end: int) -> int:
     """Pattern id of tokens[start:end) in the trie, or -1."""
     u = trie

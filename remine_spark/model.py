@@ -314,108 +314,18 @@ def _em_pass(sentences: DataFrame, bc_static, deps_logprob: dict) -> DataFrame:
     return cols.mapInPandas(run, schema="key string, cnt long, energy double")
 
 
-_CAND_SCHEMA = ("n int, has_pat array<boolean>, cs array<int>, "
-                "ce array<int>, cp array<int>, csig array<string>")
-
-
-def em_candidates(sentences: DataFrame, bc_static) -> DataFrame:
-    """Per-sentence pass-invariant Viterbi candidate table
-    (algo.sentence_candidates): trie matches, punc gates, and tree
-    signatures — everything the EM DP derives from the tokens alone.
-    Within one outer EM iteration the trie/patterns/probs are frozen
-    (only deps_prob moves), so this table is computed ONCE and each of
-    the up-to-``inner_iters + 1`` passes replays a light DP over it
-    (``_em_pass_cands``) instead of re-walking the trie per sentence per
-    pass. Callers persist the result for the iteration and unpersist at
-    its end; at cluster scale this is the same space-time trade the
-    reference makes by holding its corpus index in RAM
-    (segmentation.h:295-332)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        trie = bc_static.value["trie"]
-        for pdf in batches:
-            out = {"n": [], "has_pat": [], "cs": [], "ce": [],
-                   "cp": [], "csig": []}
-            for toks, heads in zip(pdf["tokens"], pdf["dep_head"]):
-                toks = list(toks)
-                deps = [(i, int(h)) for i, h in enumerate(heads)]
-                has_pat, cs, ce, cp, csig = algo.sentence_candidates(
-                    toks, deps, trie)
-                out["n"].append(len(toks))
-                out["has_pat"].append(has_pat)
-                out["cs"].append(cs)
-                out["ce"].append(ce)
-                out["cp"].append(cp)
-                out["csig"].append(csig)
-            yield pd.DataFrame(out)
-
-    cols = sentences.select("tokens", "dep_head")
-    return cols.mapInPandas(run, schema=_CAND_SCHEMA)
-
-
-def _em_pass_cands(cands: DataFrame, bc_static, deps_logprob: dict) -> DataFrame:
-    """The per-pass half of the split EM kernel: replay the Viterbi DP
-    over the precomputed candidate table and emit the same batch-compacted
-    (key, cnt, energy) rows as ``_em_pass`` — bit-identical counts and
-    energy (algo.viterbi_candidates_dp preserves candidate order and float
-    arithmetic; the winning span's signature is recorded during the DP, so
-    counting needs no re-computation)."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from collections import Counter
-
-        m = bc_static.value
-        prob, dflt = m["prob"], m["default_logprob"]
-        dlp = deps_logprob
-        for pdf in batches:
-            counts: Counter = Counter()
-            energy_sum = 0.0
-            for n, has_pat, cs, ce, cp, csig in zip(
-                    pdf["n"], pdf["has_pat"], pdf["cs"], pdf["ce"],
-                    pdf["cp"], pdf["csig"]):
-                f, pre, pids, wsig = algo.viterbi_candidates_dp(
-                    int(n), list(has_pat), list(cs), list(ce), list(cp),
-                    list(csig), prob, dlp, dflt)
-                i = int(n)
-                while i > 0:
-                    pid = pids[i]
-                    if pid >= 0:
-                        counts[f"p:{pid}"] += 1
-                        if wsig[i]:
-                            counts["s:" + wsig[i]] += 1
-                    i = pre[i]
-                energy = f[int(n)]
-                energy_sum += float(energy) if energy > -1e80 else 0.0
-            keys = list(counts.keys()) + ["energy"]
-            cnts = [int(counts[k]) for k in counts] + [0]
-            yield pd.DataFrame({
-                "key": pd.Series(keys, dtype=object),
-                "cnt": pd.Series(cnts, dtype="int64"),
-                "energy": pd.Series([0.0] * (len(keys) - 1) + [energy_sum],
-                                    dtype="float64"),
-            })
-
-    return cands.mapInPandas(run, schema="key string, cnt long, energy double")
-
-
 def _em_stats(spark: SparkSession, sentences: DataFrame, model: SegModel,
-              bc_static=None, cands: DataFrame | None = None,
-              ) -> tuple[dict, dict, float]:
+              bc_static=None) -> tuple[dict, dict, float]:
     """(signature counts, chosen-pattern counts, total energy) in ONE job.
 
     Pass ``bc_static`` (a broadcast of ``model.payload_static()``) to
     amortize the trie broadcast across passes; without it a one-shot
-    broadcast is created and destroyed here. Pass ``cands`` (a persisted
-    ``em_candidates`` table for the current trie) to run the light
-    replay-DP kernel instead of the full per-pass trie walk."""
+    broadcast is created and destroyed here."""
     own = bc_static is None
     if own:
         bc_static = spark.sparkContext.broadcast(model.payload_static())
-    src = (_em_pass_cands(cands, bc_static, model.log_deps())
-           if cands is not None
-           else _em_pass(sentences, bc_static, model.log_deps()))
     rows = (
-        src
+        _em_pass(sentences, bc_static, model.log_deps())
         .groupBy("key")
         .agg(F.sum("cnt").alias("cnt"), F.sum("energy").alias("energy"))
         .collect()
@@ -436,7 +346,6 @@ def _em_stats(spark: SparkSession, sentences: DataFrame, model: SegModel,
 def adjust_constraints(
     spark: SparkSession, sentences: DataFrame, model: SegModel,
     inner_iters: int = 10, rel_eps: float = EPS, bc_static=None,
-    cands: DataFrame | None = None,
 ) -> list[float]:
     """Inner EM loop (main.cpp:187-198 + adjustConstraints
     segmentation.h:884-967): segment → count chosen multi-word span
@@ -444,9 +353,7 @@ def adjust_constraints(
     < rel_eps. Returns the energy trajectory. One batch-compacted corpus
     pass per iteration (signature counts + energy ride the same job);
     the trie broadcast is created ONCE for the loop (only deps_prob
-    changes between passes), and with ``cands`` (persisted
-    ``em_candidates``) each pass is a light DP replay instead of a trie
-    re-walk."""
+    changes between passes)."""
     own = bc_static is None
     if own:
         bc_static = spark.sparkContext.broadcast(model.payload_static())
@@ -455,7 +362,7 @@ def adjust_constraints(
     try:
         for _ in range(inner_iters):
             cnts, _pat, energy = _em_stats(
-                spark, sentences, model, bc_static=bc_static, cands=cands)
+                spark, sentences, model, bc_static=bc_static)
             model.deps_prob = {
                 s: cnts.get(s, 0) / t
                 for s, t in model.tree_total.items() if t > 0
@@ -472,15 +379,14 @@ def adjust_constraints(
 
 def rectify_frequency(
     spark: SparkSession, sentences: DataFrame, model: SegModel,
-    bc_static=None, cands: DataFrame | None = None,
+    bc_static=None,
 ) -> SegModel:
     """A8 (rectifyFrequencyDeps, segmentation.h:816-882): pattern freq :=
     number of times Viterbi chose it; then rebuild trie/probs (patterns with
     rectified freq 0 drop out of the trie for multi-word, segmentation.h:46).
-    ``cands`` stays valid here: the stats pass segments with the same trie
-    the inner loop used; the _rebuild happens after."""
+    """
     _sig, cnt, _energy = _em_stats(spark, sentences, model,
-                                   bc_static=bc_static, cands=cands)
+                                   bc_static=bc_static)
     new_patterns = [
         (toks, cnt.get(pid, 0), q, ind)
         for pid, (toks, _f, q, ind) in enumerate(model.patterns)
@@ -501,19 +407,16 @@ def fit(
     model = model_from_patterns(assign_quality_if_missing(patterns_df),
                                 tree_total, top_k=top_k)
     for _ in range(outer_iters):
-        # one trie broadcast AND one candidate-table pass serve the whole
-        # outer iteration: the inner loop mutates only deps_prob, and
-        # rectify_frequency segments with the same trie before its _rebuild
+        # one trie broadcast serves the whole outer iteration: the inner
+        # loop mutates only deps_prob, and rectify_frequency segments with
+        # the same trie before its _rebuild
         bc_static = spark.sparkContext.broadcast(model.payload_static())
-        cands = em_candidates(sentences, bc_static).persist()
         try:
             adjust_constraints(spark, sentences, model,
-                               inner_iters=inner_iters, bc_static=bc_static,
-                               cands=cands)
+                               inner_iters=inner_iters, bc_static=bc_static)
             model = rectify_frequency(spark, sentences, model,
-                                      bc_static=bc_static, cands=cands)
+                                      bc_static=bc_static)
         finally:
-            cands.unpersist()
             bc_static.destroy()
     return model
 

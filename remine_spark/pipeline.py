@@ -314,22 +314,16 @@ def run_pipeline(
             tree_total = model_mod.subtree_census(sentences, max_len)
             m = model_mod.model_from_patterns(patterns_df, tree_total)
         for it in range(start_iter, outer_iters):
-            # one trie broadcast and ONE candidate-table pass per outer
-            # iteration (the inner loop only re-estimates deps_prob; each
-            # EM pass replays a light DP over the persisted candidates —
-            # see SegModel.payload_static / model.em_candidates)
+            # one trie broadcast per outer iteration (the inner loop only
+            # re-estimates deps_prob; see SegModel.payload_static)
             bc_static = spark.sparkContext.broadcast(m.payload_static())
-            cands = model_mod.em_candidates(sentences, bc_static).persist()
             try:
                 model_mod.adjust_constraints(spark, sentences, m,
                                              inner_iters=inner_iters,
-                                             bc_static=bc_static,
-                                             cands=cands)
+                                             bc_static=bc_static)
                 m = model_mod.rectify_frequency(spark, sentences, m,
-                                                bc_static=bc_static,
-                                                cands=cands)
+                                                bc_static=bc_static)
             finally:
-                cands.unpersist()
                 bc_static.destroy()
             save_model(workdir, m, "segmodel_partial.json", outer_done=it + 1)
         save_model(workdir, m)

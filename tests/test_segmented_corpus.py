@@ -38,34 +38,3 @@ def test_segment_sentences_spans_and_em_pass_agree(spark, tmp_path):
     want = {int(r.pid): int(r.cnt) for r in chosen_full}
     _sig, got, _e = model_mod._em_stats(spark, sentences, m)
     assert got == want
-
-
-def test_em_stats_candidate_path_bit_identical(spark, tmp_path):
-    """The split EM kernel (em_candidates once + per-pass replay DP) must
-    reproduce the direct per-pass kernel EXACTLY: same signature counts,
-    same chosen-pattern counts, bit-identical energy — including after a
-    few EM iterations have moved deps_prob off its uniform start."""
-    pages = synth.pages_df(spark, 120, seed=23, num_partitions=3)
-    wd = str(tmp_path / "wd")
-    out = pipeline.run_pipeline(spark, pages, wd, inner_iters=2,
-                                transe_epochs=2, resume=False)
-    m = pipeline.load_model(wd)
-    sentences = out["sentences"]
-
-    bc_static = spark.sparkContext.broadcast(m.payload_static())
-    cands = model_mod.em_candidates(sentences, bc_static).persist()
-    try:
-        # at the fitted deps_prob AND at a perturbed one (the replay path
-        # must track per-pass deps_logprob changes, not bake them in)
-        for scale in (1.0, 0.5):
-            m.deps_prob = {s: p * scale for s, p in m.deps_prob.items()}
-            sig_d, pat_d, e_d = model_mod._em_stats(
-                spark, sentences, m, bc_static=bc_static)
-            sig_c, pat_c, e_c = model_mod._em_stats(
-                spark, sentences, m, bc_static=bc_static, cands=cands)
-            assert sig_c == sig_d
-            assert pat_c == pat_d
-            assert e_c == e_d  # bit-identical, not approx
-    finally:
-        cands.unpersist()
-        bc_static.destroy()
