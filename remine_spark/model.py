@@ -285,21 +285,31 @@ def _em_pass(sentences: DataFrame, bc_static, deps_logprob: dict) -> DataFrame:
 
         m = bc_static.value
         trie, prob = m["trie"], m["prob"]
-        patterns = m["patterns"]
         dlp, dflt = deps_logprob, m["default_logprob"]
+        viterbi, sig = algo.viterbi_deps, algo.tree_signature
         for pdf in batches:
             counts: Counter = Counter()
             energy_sum = 0.0
             for toks, heads in zip(pdf["tokens"], pdf["dep_head"]):
                 toks = list(toks)
                 deps = [(i, int(h)) for i, h in enumerate(heads)]
-                segs, energy = algo.segment_sentence(
-                    toks, deps, trie, patterns, prob, dlp, dflt)
-                for (s, e, pid, _ok) in segs:
+                f, pre, pids = viterbi(toks, deps, trie, prob, dlp, dflt)
+                # count-only backtrace: EM needs just the chosen pattern
+                # ids and multi-word span signatures, so skip
+                # backtrace_segments' per-segment tuple build and quality
+                # gating (profiled at ~30% of this pass; counts are
+                # identical — same pre/pids walk, same memoized
+                # signatures)
+                i = len(toks)
+                while i > 0:
+                    pid = pids[i]
+                    j = pre[i]
                     if pid >= 0:
                         counts[f"p:{pid}"] += 1
-                        if e - s > 1:
-                            counts["s:" + algo.tree_signature(deps, s, e)] += 1
+                        if i - j > 1:
+                            counts["s:" + sig(deps, j, i)] += 1
+                    i = j
+                energy = f[len(toks)]
                 energy_sum += float(energy) if energy > -1e80 else 0.0
             keys = list(counts.keys()) + ["energy"]
             cnts = [int(counts[k]) for k in counts] + [0]
