@@ -75,3 +75,83 @@ def doc_fingerprint(spark, sf_dir):
         F.size(F.array_distinct(fps)).alias("n_fp"),
         F.array_min(fps).cast("bigint").alias("min_fp"),
     )
+
+
+# word tokenizer shared by the LM: lowercase alnum runs — the same regex
+# evaluates identically under Java regex (Spark) and RE2 (DuckDB)
+_LM_TOK = "[a-z0-9]+"
+
+
+@query("lm_perplexity", f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{_LM_TOK}') AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+              FROM tok WHERE len(t) >= 2)
+    ), db AS (
+        SELECT doc_id, w1, w2, count(*) AS n FROM big GROUP BY doc_id, w1, w2
+    ), lm2 AS (SELECT w1, w2, sum(n) AS c2 FROM db GROUP BY w1, w2),
+    lm1 AS (SELECT w1, sum(c2) AS c1 FROM lm2 GROUP BY w1),
+    sc AS (
+        SELECT d.doc_id,
+               -sum(n * ln(c2 / c1)) / sum(n) AS nll,
+               sum(n) AS n_bigrams
+        FROM db d JOIN lm2 USING (w1, w2) JOIN lm1 USING (w1)
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(nll, 6) AS nll_per_token,
+           round(exp(nll), 4) AS ppl
+    FROM sc
+""")
+def lm_perplexity(spark, sf_dir):
+    """Self-trained bigram-LM quality score (the CCNet/KenLM-shaped filter
+    of web-scale training-data pipelines): fit word-bigram MLE counts on
+    the corpus itself, score each document by mean negative log-likelihood
+    per bigram and its perplexity. Repetitive/templated documents score
+    LOW ppl, incoherent token soup scores HIGH; both tails are the usual
+    drop candidates.
+
+    Plan: tokenization and bigram generation are codegen scan expressions
+    feeding ONE (doc_id, w1, w2) partial-aggregated shuffle; that per-doc
+    count table is materialized once (lazy localCheckpoint — it feeds both
+    the LM build and the scoring join, and Catalyst has no cross-consumer
+    subplan reuse, so without it the corpus scan + regex would execute
+    twice; same fix as j2's shared unigram agg). The LM derives from it
+    map-side-combined, prefix counts from the bigram counts (never a
+    second corpus scan), and scoring joins the broadcast LM back
+    (vocab-sized ≪ corpus). At 100 TB the materialization becomes a
+    parquet stage table instead of a localCheckpoint, and the unsmoothed
+    self-LM is pruned (min-count + top-K continuations per prefix — the
+    standard KenLM pruning) to stay broadcastable, or shuffle-joined on
+    w1 with salting for stopword-head skew; MLE on the training corpus
+    itself means every scored bigram is in the LM, so pruning is the only
+    scale lever needed."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower(text), '{_LM_TOK}', 0)").alias("t"),
+    ).filter(F.size("t") >= 2)
+    big = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(0, size(t) - 2), "
+            "i -> struct(t[i] AS w1, t[i + 1] AS w2))")).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    db = (big.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+          .localCheckpoint(eager=False))
+    lm2 = db.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+    lm1 = lm2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    lm = lm2.join(lm1, "w1")
+    nll = (-F.sum(F.col("n") * F.log(F.col("c2") / F.col("c1")))
+           / F.sum("n"))
+    return (
+        db.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(nll.alias("nll"), F.sum("n").alias("n_bigrams"))
+        .select("doc_id", "n_bigrams",
+                F.round("nll", 6).alias("nll_per_token"),
+                F.round(F.exp("nll"), 4).alias("ppl"))
+    )
