@@ -1,19 +1,23 @@
 """Text-analysis operators over ``documents``: token counting (whitespace +
-BPE-ish regex) and document fingerprinting (winnowing-style selection over
-char-8-gram hashes).
+BPE-ish regex), document fingerprinting (winnowing-style selection over
+char-8-gram hashes), self-trained bigram-LM perplexity scoring
+(CCNet/KenLM-shaped quality filter), and token-budget sequence packing
+(the pretraining concat-then-chunk planner).
 
 Language-ID and quality scoring live in remine_spark.queries
-(lang_id_heuristic, text_quality_score); together these four cover the
+(lang_id_heuristic, text_quality_score); together these cover the
 text-analysis block of a training-data pipeline.
 
-Scale notes: both operators are pure scan-side array expressions — no
-shuffle at all except the final write; they run inside whole-stage codegen
-and cost O(chars) per document.
+Scale notes: token_count and doc_fingerprint are pure scan-side array
+expressions — no shuffle at all except the final write, whole-stage
+codegen, O(chars) per document. lm_perplexity adds one partial-aggregated
+shuffle plus a broadcast scoring join; pack_token_budget uses the
+distributed prefix-sum pattern (never a single-partition window).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from remine_spark.catalog import h32_duck, h32_spark, query, table
 
@@ -154,4 +158,90 @@ def lm_perplexity(spark, sf_dir):
         .select("doc_id", "n_bigrams",
                 F.round("nll", 6).alias("nll_per_token"),
                 F.round(F.exp("nll"), 4).alias("ppl"))
+    )
+
+
+PACK_BUDGET = 4096  # tokens per training shard (context-length planning unit)
+
+
+def _prefix_sum(df, key: str, val: str, out: str, n_parts: int = 8):
+    """Global EXCLUSIVE prefix sum of ``val`` in ``key`` order without a
+    single-partition window — the same three-step zipWithIndex pattern as
+    relational._ordinal, generalized from rank to sum: range-partition on
+    the key (partitions globally ordered), running-sum locally per
+    partition (parallel window), then add per-partition totals (one
+    bounded-by-#partitions collect, broadcast back). localCheckpoint pins
+    one RangePartitioner placement for both the totals job and the final
+    join (boundaries are sampled per execution otherwise)."""
+    d = (df.repartitionByRange(n_parts, F.col(key))
+         .withColumn("_pid", F.spark_partition_id()))
+    w = (Window.partitionBy("_pid").orderBy(key)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    d = d.withColumn(
+        "_local_off", F.coalesce(F.sum(val).over(w), F.lit(0)).cast("long")
+    ).localCheckpoint()
+    totals = sorted(
+        (r["_pid"], r["s"]) for r in
+        d.groupBy("_pid").agg(F.sum(val).alias("s")).collect())
+    offset, offsets = 0, {}
+    for pid, s in totals:
+        offsets[pid] = offset
+        offset += int(s or 0)
+    off_df = d.sparkSession.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "_pid int, _poff long")
+    return (d.join(F.broadcast(off_df), "_pid")
+            .withColumn(out, F.col("_local_off") + F.col("_poff"))
+            .drop("_pid", "_local_off", "_poff"))
+
+
+@query("pack_token_budget", f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(list_filter(string_split(coalesce(text, ''), ' '),
+                               x -> x <> '')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS t_offset
+        FROM d
+    )
+    SELECT doc_id, n_tokens, t_offset,
+           t_offset // {PACK_BUDGET} AS shard_id,
+           t_offset % {PACK_BUDGET} AS shard_off,
+           CASE WHEN n_tokens = 0 THEN false
+                ELSE (t_offset + n_tokens - 1) // {PACK_BUDGET}
+                     > t_offset // {PACK_BUDGET} END AS spans_shards
+    FROM c
+""")
+def pack_token_budget(spark, sf_dir):
+    """Sequence-packing planner (the pretraining concat-then-chunk step):
+    stream documents in doc_id order into fixed token-budget shards and
+    emit each doc's global token offset, its shard, its offset inside the
+    shard, and whether it crosses a shard boundary (where a packer splits
+    or pads). The byte-moving pack itself is then a write partitioned by
+    shard_id — this operator is the deterministic plan for it.
+
+    Scale: the global running sum NEVER uses an unpartitioned window
+    (single-partition sort = the classic scale-killer); it is the
+    distributed prefix-sum pattern (_prefix_sum) — range partition, local
+    running sums in parallel, one #partitions-sized totals collect
+    broadcast back. Everything else is scan-side arithmetic."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("size(filter(split(coalesce(text, ''), ' '), x -> x != ''))")
+        .cast("long").alias("n_tokens"),
+    )
+    c = _prefix_sum(d, "doc_id", "n_tokens", "t_offset")
+    b = F.lit(PACK_BUDGET)
+    shard = F.expr(f"t_offset div {PACK_BUDGET}")
+    return c.select(
+        "doc_id", "n_tokens", "t_offset",
+        shard.alias("shard_id"),
+        (F.col("t_offset") % b).alias("shard_off"),
+        F.when(F.col("n_tokens") == 0, F.lit(False)).otherwise(
+            F.expr(f"(t_offset + n_tokens - 1) div {PACK_BUDGET}")
+            > shard).alias("spans_shards"),
     )

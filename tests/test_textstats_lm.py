@@ -7,6 +7,8 @@ oracle harness (test_queries_oracle)."""
 
 import math
 
+from pyspark.sql import functions as F
+
 from remine_spark.operators.textstats import lm_perplexity
 
 SF = "/root/testdata/sf0.01"
@@ -44,3 +46,38 @@ def test_short_docs_excluded(spark, tmp_path):
     assert [r.doc_id for r in got] == [3]
     # a 2-token doc whose single bigram is the whole LM: P = 1, ppl = 1
     assert got[0].ppl == 1.0 and got[0].nll_per_token == 0.0
+
+
+def test_pack_token_budget_invariants(spark, tmp_path):
+    from remine_spark.operators.textstats import PACK_BUDGET, pack_token_budget
+    # doc sizes chosen to cross shard boundaries: 3000+2000 crosses 4096
+    sizes = [3000, 2000, 100, 0, 1500, 4096, 7]
+    rows = [(i, " ".join("w" for _ in range(n))) for i, n in enumerate(sizes)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = sorted(pack_token_budget(spark, str(tmp_path)).collect(),
+                 key=lambda r: r.doc_id)
+    # exclusive prefix sum in doc_id order
+    off = 0
+    for r, n in zip(got, sizes):
+        assert r.n_tokens == n
+        assert r.t_offset == off
+        assert r.shard_id == off // PACK_BUDGET
+        assert r.shard_off == off % PACK_BUDGET
+        expect_spans = n > 0 and (off + n - 1) // PACK_BUDGET > off // PACK_BUDGET
+        assert r.spans_shards == expect_spans, (r.doc_id, off, n)
+        off += n
+    # doc 1 (2000 tokens starting at 3000) crosses the first boundary
+    assert got[1].spans_shards is True
+    assert got[3].spans_shards is False  # empty doc never spans
+
+
+def test_prefix_sum_matches_across_partition_counts(spark, tmp_path):
+    """The distributed prefix sum must be partitioning-invariant."""
+    from remine_spark.operators.textstats import _prefix_sum
+    df = spark.range(0, 997).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("v"))
+    a = {r.k: r.s for r in _prefix_sum(df, "k", "v", "s", n_parts=1).collect()}
+    b = {r.k: r.s for r in _prefix_sum(df, "k", "v", "s", n_parts=8).collect()}
+    assert a == b
+    assert a[0] == 0 and a[996] == sum(i % 13 for i in range(996))
