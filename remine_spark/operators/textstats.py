@@ -1,8 +1,9 @@
 """Text-analysis operators over ``documents``: token counting (whitespace +
 BPE-ish regex), document fingerprinting (winnowing-style selection over
 char-8-gram hashes), self-trained bigram-LM perplexity scoring
-(CCNet/KenLM-shaped quality filter), and token-budget sequence packing
-(the pretraining concat-then-chunk planner).
+(CCNet/KenLM-shaped quality filter), token-budget sequence packing
+(the pretraining concat-then-chunk planner), and deterministic
+hash-bucket stratified sampling (the data-mixing primitive).
 
 Language-ID and quality scoring live in remine_spark.queries
 (lang_id_heuristic, text_quality_score); together these cover the
@@ -12,7 +13,8 @@ Scale notes: token_count and doc_fingerprint are pure scan-side array
 expressions — no shuffle at all except the final write, whole-stage
 codegen, O(chars) per document. lm_perplexity adds one partial-aggregated
 shuffle plus a broadcast scoring join; pack_token_budget uses the
-distributed prefix-sum pattern (never a single-partition window).
+distributed prefix-sum pattern (never a single-partition window);
+sample_stratified is a scan-side filter (pure map work at any scale).
 """
 
 from __future__ import annotations
@@ -245,3 +247,51 @@ def pack_token_budget(spark, sf_dir):
             F.expr(f"(t_offset + n_tokens - 1) div {PACK_BUDGET}")
             > shard).alias("spans_shards"),
     )
+
+
+# per-stratum keep-rates out of 100: upsample scarce languages, downsample
+# the head — the standard pretraining data-mixing move
+SAMPLE_RATES = {"en": 40, "de": 80, "fr": 80}
+SAMPLE_RATE_DEFAULT = 100
+
+
+def _rate_case_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {col} = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items()))
+    return f"CASE {whens} ELSE {SAMPLE_RATE_DEFAULT} END"
+
+
+@query("sample_stratified", f"""
+    WITH k AS (
+        SELECT doc_id, lang,
+               {h32_duck("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+               {_rate_case_sql('lang')} AS rate
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM k WHERE bucket < rate
+    GROUP BY lang
+""")
+def sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (training-data mixing): each
+    document keeps or drops itself by hashing its OWN id into one of 100
+    buckets and comparing against its language-stratum keep-rate — no RNG,
+    no state, reproducible across runs/engines/cluster sizes, and stable
+    under re-partitioning (unlike df.sample, whose output depends on
+    partition layout). Scan-side filter → pure map work at 100 TB; the
+    summary agg here is one small shuffle. The sampled-docs form is the
+    same plan minus the groupBy."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v))
+          for k, v in sorted(SAMPLE_RATES.items())],
+        F.lit(SAMPLE_RATE_DEFAULT))
+    bucket = F.expr(
+        h32_spark("cast(doc_id as string)")) % 100
+    return (d.filter(bucket < rate)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.min("doc_id").cast("long").alias("first_doc"),
+                 F.max("doc_id").cast("long").alias("last_doc")))

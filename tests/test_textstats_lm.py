@@ -81,3 +81,21 @@ def test_prefix_sum_matches_across_partition_counts(spark, tmp_path):
     b = {r.k: r.s for r in _prefix_sum(df, "k", "v", "s", n_parts=8).collect()}
     assert a == b
     assert a[0] == 0 and a[996] == sum(i % 13 for i in range(996))
+
+
+def test_sample_stratified_deterministic_rates(spark, tmp_path):
+    from remine_spark.operators.textstats import (
+        SAMPLE_RATE_DEFAULT, SAMPLE_RATES, sample_stratified)
+    rows = [(i, "x", lang) for i, lang in
+            enumerate(["en"] * 400 + ["de"] * 200 + ["xx"] * 100)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    a = {r.lang: r.n_sampled for r in
+         sample_stratified(spark, str(tmp_path)).collect()}
+    b = {r.lang: r.n_sampled for r in
+         sample_stratified(spark, str(tmp_path)).collect()}
+    assert a == b  # hash-determined, not RNG
+    # md5 buckets are uniform-ish: expect ~rate% per stratum (loose 3-sigma)
+    assert abs(a["en"] - 400 * SAMPLE_RATES["en"] / 100) < 75
+    assert abs(a["de"] - 200 * SAMPLE_RATES["de"] / 100) < 45
+    assert a["xx"] == 100 * SAMPLE_RATE_DEFAULT // 100  # default keeps all
