@@ -2,8 +2,9 @@
 BPE-ish regex), document fingerprinting (winnowing-style selection over
 char-8-gram hashes), self-trained bigram-LM perplexity scoring
 (CCNet/KenLM-shaped quality filter), token-budget sequence packing
-(the pretraining concat-then-chunk planner), and deterministic
-hash-bucket stratified sampling (the data-mixing primitive).
+(the pretraining concat-then-chunk planner), deterministic
+hash-bucket stratified sampling (the data-mixing primitive), and
+benchmark decontamination (token-8-gram containment of an eval set).
 
 Language-ID and quality scoring live in remine_spark.queries
 (lang_id_heuristic, text_quality_score); together these cover the
@@ -295,3 +296,76 @@ def sample_stratified(spark, sf_dir):
             .agg(F.count("*").alias("n_sampled"),
                  F.min("doc_id").cast("long").alias("first_doc"),
                  F.max("doc_id").cast("long").alias("last_doc")))
+
+
+# decontamination parameters: token-8-gram shingles (the usual benchmark-
+# contamination unit), flag a train/eval pair sharing >= 3 distinct shingles
+CONTAM_GRAM = 8
+CONTAM_MIN_SHARED = 3
+CONTAM_EVAL_MAX_ID = 50  # docs below this id act as the "benchmark" set
+
+
+def _shingle_expr_spark(tokcol: str) -> str:
+    join8 = f"concat_ws(' ', slice({tokcol}, i, {CONTAM_GRAM}))"
+    return (f"transform(sequence(1, size({tokcol}) - {CONTAM_GRAM - 1}), "
+            f"i -> {h32_spark(join8)})")
+
+
+def _shingle_expr_duck(tokcol: str) -> str:
+    join8 = (f"list_aggregate(list_slice({tokcol}, i, "
+             f"i + {CONTAM_GRAM - 1}), 'string_agg', ' ')")
+    return (f"list_transform(range(1, len({tokcol}) - {CONTAM_GRAM - 2}), "
+            f"i -> {h32_duck(join8)})")
+
+
+@query("contamination_check", f"""
+    WITH tok AS (
+        SELECT doc_id,
+               list_filter(string_split(coalesce(text, ''), ' '),
+                           x -> x <> '') AS t
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct({_shingle_expr_duck('t')})) AS h
+        FROM tok WHERE len(t) >= {CONTAM_GRAM}
+    ), ev  AS (SELECT doc_id AS eval_id,  h FROM sh
+               WHERE doc_id <  {CONTAM_EVAL_MAX_ID}),
+       tr  AS (SELECT doc_id AS train_id, h FROM sh
+               WHERE doc_id >= {CONTAM_EVAL_MAX_ID})
+    SELECT train_id, eval_id, count(*) AS shared_shingles
+    FROM tr JOIN ev USING (h)
+    GROUP BY train_id, eval_id
+    HAVING count(*) >= {CONTAM_MIN_SHARED}
+""")
+def contamination_check(spark, sf_dir):
+    """Benchmark decontamination (train/test overlap): flag training
+    documents sharing ≥ {CONTAM_MIN_SHARED} distinct token-8-gram
+    shingles with any document of the "benchmark" set (here the fixed
+    doc_id < {CONTAM_EVAL_MAX_ID} slice stands in for an eval suite).
+    This is CONTAINMENT detection, not near-dup dedup: a 10-line eval
+    prompt buried in a 10k-token page never trips MinHash Jaccard but
+    trips this.
+
+    Plan: shingling is a scan-side codegen expression (hash per 8-gram,
+    per-doc distinct); the eval side is tiny by construction and is
+    BROADCAST, so the check is one corpus scan + a broadcast hash join +
+    one partial-aggregated shuffle on (train, eval) pairs. At 100 TB the
+    eval suite (benchmarks, not web data) stays small — the broadcast
+    holds; only the pair aggregation shuffles, keyed by pair, uniform
+    unless one eval doc contaminates everything (then AQE skew-split)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("filter(split(coalesce(text, ''), ' '), x -> x != '')")
+        .alias("t"),
+    ).filter(F.size("t") >= CONTAM_GRAM)
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            F.expr(_shingle_expr_spark("t")))).alias("h"))
+    ev = (sh.filter(F.col("doc_id") < CONTAM_EVAL_MAX_ID)
+          .withColumnRenamed("doc_id", "eval_id"))
+    tr = (sh.filter(F.col("doc_id") >= CONTAM_EVAL_MAX_ID)
+          .withColumnRenamed("doc_id", "train_id"))
+    return (tr.join(F.broadcast(ev), "h")
+            .groupBy("train_id", "eval_id")
+            .agg(F.count("*").alias("shared_shingles"))
+            .filter(F.col("shared_shingles") >= CONTAM_MIN_SHARED))

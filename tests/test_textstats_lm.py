@@ -99,3 +99,21 @@ def test_sample_stratified_deterministic_rates(spark, tmp_path):
     assert abs(a["en"] - 400 * SAMPLE_RATES["en"] / 100) < 75
     assert abs(a["de"] - 200 * SAMPLE_RATES["de"] / 100) < 45
     assert a["xx"] == 100 * SAMPLE_RATE_DEFAULT // 100  # default keeps all
+
+
+def test_contamination_check_planted(spark, tmp_path):
+    from remine_spark.operators.textstats import (
+        CONTAM_EVAL_MAX_ID, contamination_check)
+    eval_text = " ".join(f"e{i}" for i in range(20))   # a 20-token "prompt"
+    filler = " ".join(f"f{i}" for i in range(200))
+    rows = [
+        (1, eval_text),                                # eval doc
+        (CONTAM_EVAL_MAX_ID + 1, filler + " " + eval_text + " " + filler),
+        (CONTAM_EVAL_MAX_ID + 2, filler),              # clean train doc
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {(r.train_id, r.eval_id): r.shared_shingles
+           for r in contamination_check(spark, str(tmp_path)).collect()}
+    # the planted doc shares all 13 distinct 8-gram shingles of the prompt
+    assert got == {(CONTAM_EVAL_MAX_ID + 1, 1): 13}
