@@ -340,7 +340,9 @@ def contamination_check(spark, sf_dir):
     """Benchmark decontamination (train/test overlap): flag training
     documents sharing ≥ {CONTAM_MIN_SHARED} distinct token-8-gram
     shingles with any document of the "benchmark" set (here the fixed
-    doc_id < {CONTAM_EVAL_MAX_ID} slice stands in for an eval suite).
+    doc_id < {CONTAM_EVAL_MAX_ID} slice of the sequential-id test corpus
+    stands in for an eval suite; in production the eval side is its own
+    small table — swap the filter for that scan, nothing else changes).
     This is CONTAINMENT detection, not near-dup dedup: a 10-line eval
     prompt buried in a 10k-token page never trips MinHash Jaccard but
     trips this.
