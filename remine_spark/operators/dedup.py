@@ -33,6 +33,7 @@ from pyspark.sql import functions as F, types as T
 
 from remine_spark.catalog import h32_duck, h32_spark, query, table
 from remine_spark.operators.banding import bucket_pairs
+from remine_spark.operators.graph import hash_min_components
 
 N_HASH = 16
 N_BANDS = 4
@@ -328,3 +329,53 @@ def dedup_simhash_pairs(spark, sf_dir, nbits: int = SIM_BITS,
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
+
+
+# --- cluster resolution: pairs → components → keep-list -------------------
+
+@query("dedup_cluster_resolve", f"""
+    WITH RECURSIVE {_DUCK_BANDS},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+             FROM bands a JOIN bands c
+               ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id),
+    vpairs AS (SELECT p.doc_a, p.doc_b
+               FROM cand p JOIN sh sa ON p.doc_a = sa.doc_id
+                           JOIN sh sb ON p.doc_b = sb.doc_id
+               WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+                     >= {JACCARD_MIN}),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM vpairs
+            UNION SELECT doc_b, doc_a FROM vpairs),
+    reach(node, lbl) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS canonical_id,
+           CAST(node = min(lbl) AS INTEGER) AS is_keep
+    FROM reach GROUP BY node
+""")
+def dedup_cluster_resolve(spark, sf_dir):
+    """End-to-end near-dup RESOLUTION — the actual dedup deliverable (a
+    keep-list), not a pair dump: LSH candidates → exact-Jaccard-verified
+    pairs → connected components over the pair graph (hash-min label
+    propagation, operators/graph.py) → one canonical survivor per cluster
+    (min doc_id). Returns (doc_id, canonical_id, is_keep) for every doc
+    that belongs to a near-dup cluster; the dedup'd corpus is the full
+    corpus minus the is_keep = 0 rows (singletons never surface, so the
+    output is cluster-sized, not corpus-sized).
+
+    Scale: the component loop runs on the verified-pair graph — orders of
+    magnitude smaller than the corpus (dup clusters only), with iterations
+    bounded by the largest cluster's diameter, each a uniform shuffle on
+    doc_id. The oracle replays the same min-reachable-label as a DuckDB
+    recursive CTE."""
+    pairs = dedup_minhash_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    und = pairs.unionAll(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+    comp = hash_min_components(und.toDF("a", "b"))
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("canonical_id"),
+        (F.col("node") == F.col("comp")).cast("int").alias("is_keep"))

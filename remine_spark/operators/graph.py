@@ -119,34 +119,29 @@ def kg_triangles(spark, sf_dir):
         [(tri, n_edges)], "n_triangles long, n_edges long")
 
 
-@query("kg_connected_components", f"""
-    WITH RECURSIVE {_DUCK_EDGES},
-    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
-    reach(node, lbl) AS (
-        SELECT a, a FROM und
-        UNION
-        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
-    )
-    SELECT node, min(lbl) AS comp FROM reach GROUP BY node
-""")
-def kg_connected_components(spark, sf_dir):
-    """Connected components by hash-min label propagation (iterative
-    DataFrame loop, fixpoint detected with one agg per round); the oracle
-    computes the same min-reachable-label via a recursive CTE."""
-    e = edges_df(spark, sf_dir)
-    # localCheckpoint (not cache) the loop bases: cache() reuses BLOCKS but
-    # leaves the full edge-derivation PLAN in place, and the loop references
-    # labels twice per round — 2^k plan growth inside each truncation
-    # window, with every leaf a parquet re-scan of the corpus (measured:
-    # ~1360 scan nodes in the returned plan at test scale). As leaves, the
-    # window's worst case is 2^5 references to an in-memory RDD scan.
-    und = (e.select("a", "b").unionAll(e.select(F.col("b"), F.col("a")))
-           .distinct().localCheckpoint(eager=True))
+def hash_min_components(und_edges: DataFrame) -> DataFrame:
+    """Connected components of an undirected edge list by hash-min label
+    propagation: per round one join + one groupBy-min, looped in the driver
+    until a fixpoint (counted via one agg) — iterations ≈ graph diameter.
+    ``und_edges`` must carry BOTH directions of every edge in columns
+    (a, b); returns (node, comp) with comp = min node id of the component.
+
+    Shared by kg_connected_components (token co-occurrence graph) and
+    dedup_cluster_resolve (near-duplicate pair graph).
+
+    Plan discipline: the input plan executes ONCE — the loop bases are
+    eager localCheckpoints (cache() reuses BLOCKS but leaves the full
+    derivation PLAN in place, and labels is referenced twice per round —
+    2^k plan growth inside each truncation window, with every leaf a
+    parquet re-scan of the corpus; measured ~1360 scan nodes at test
+    scale before the fix). As leaves, the returned plan reads only
+    in-memory RDD scans. On a cluster with lineage-reliability
+    requirements swap localCheckpoint for checkpoint() on a
+    fault-tolerant dir."""
+    und = und_edges.distinct().localCheckpoint(eager=True)
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "lbl", F.col("node")).localCheckpoint(eager=True)
-    rounds = 0
     while True:
-        rounds += 1
         nb_min = (
             und.join(labels, und.b == labels.node)
             .groupBy(F.col("a").alias("node"))
@@ -154,11 +149,7 @@ def kg_connected_components(spark, sf_dir):
         )
         # eager localCheckpoint per round: materializes the node-sized
         # label table and truncates lineage, so the loop's plan stays
-        # CONSTANT-sized in the round count (labels is referenced twice
-        # per round — with lazy caching the plan doubled every round and
-        # every leaf was a full corpus re-derivation). Standard iterative-
-        # graph practice; on a cluster with lineage-reliability
-        # requirements swap for checkpoint() on a fault-tolerant dir.
+        # CONSTANT-sized in the round count.
         new_labels = (
             labels.join(nb_min, "node", "left")
             .select("node", F.least("lbl", F.coalesce("nb_lbl", "lbl"))
@@ -181,6 +172,25 @@ def kg_connected_components(spark, sf_dir):
     # for the returned plan
     _free_local_checkpoint(und)
     return labels.select("node", F.col("lbl").alias("comp"))
+
+
+@query("kg_connected_components", f"""
+    WITH RECURSIVE {_DUCK_EDGES},
+    und AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+    reach(node, lbl) AS (
+        SELECT a, a FROM und
+        UNION
+        SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node
+    )
+    SELECT node, min(lbl) AS comp FROM reach GROUP BY node
+""")
+def kg_connected_components(spark, sf_dir):
+    """Connected components by hash-min label propagation (iterative
+    DataFrame loop, fixpoint detected with one agg per round); the oracle
+    computes the same min-reachable-label via a recursive CTE."""
+    e = edges_df(spark, sf_dir)
+    und = e.select("a", "b").unionAll(e.select(F.col("b"), F.col("a")))
+    return hash_min_components(und)
 
 
 @query("kg_pagerank", f"""

@@ -371,3 +371,64 @@ def contamination_check(spark, sf_dir):
             .groupBy("train_id", "eval_id")
             .agg(F.count("*").alias("shared_shingles"))
             .filter(F.col("shared_shingles") >= CONTAM_MIN_SHARED))
+
+
+@query("rep_ngram_dup_frac", """
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks
+               FROM documents),
+    g AS (SELECT doc_id, toks,
+                 list_sort(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+          FROM t WHERE len(toks) >= 3)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6)
+               AS dup_token_frac,
+           round(len(list_filter(range(1, len(sg) + 1),
+                     i -> (i > 1 AND sg[i] = sg[i-1])
+                       OR (i < len(sg) AND sg[i] = sg[i+1]))) * 1.0
+                 / len(sg), 6) AS dup_3gram_frac
+    FROM g
+""")
+def rep_ngram_dup_frac(spark, sf_dir):
+    """Intra-document repetition metrics (the Gopher/MassiveText "repetition
+    signals" family): per doc, the fraction of tokens that are repeats
+    (1 − distinct/total) and the fraction of word-3-gram positions whose
+    3-gram occurs more than once in the document. Both are standard
+    pretraining quality-filter inputs — boilerplate and spam pages score
+    high, prose scores low.
+
+    Plan: a per-doc metric must NOT shuffle the corpus — the obvious
+    explode→groupBy(doc_id, gram)→groupBy(doc_id) formulation pushes every
+    gram of every document through two exchanges just to come back to one
+    row per doc. Instead the 3-gram array is sorted IN ROW (array_sort)
+    and duplicated positions are counted as elements equal to a sorted
+    neighbour — O(n log n) per document, whole-stage codegen, ZERO
+    shuffles at any corpus size. The out-of-range neighbour probes are
+    clamped (greatest/least) because SQL AND does not short-circuit and
+    Spark's element_at throws on index 0."""
+    d = table(spark, sf_dir, "documents")
+    g = (
+        d.select("doc_id",
+                 F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"))
+        .filter(F.expr("size(toks) >= 3"))
+        .withColumn("sg", F.expr(
+            "array_sort(transform(sequence(1, size(toks) - 2), "
+            "i -> concat_ws(' ', slice(toks, cast(i as int), 3))))"))
+    )
+    dup3 = (
+        "size(filter(sequence(1, size(sg)), i -> "
+        "(i > 1 AND element_at(sg, cast(i as int)) = "
+        "element_at(sg, cast(greatest(i - 1, 1) as int))) OR "
+        "(i < size(sg) AND element_at(sg, cast(i as int)) = "
+        "element_at(sg, cast(least(i + 1, size(sg)) as int)))))"
+    )
+    return g.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr("round(1.0 - size(array_distinct(toks)) "
+               "/ cast(size(toks) as double), 6)").alias("dup_token_frac"),
+        F.expr(f"round({dup3} / cast(size(sg) as double), 6)")
+        .alias("dup_3gram_frac"),
+    )
