@@ -373,22 +373,42 @@ def contamination_check(spark, sf_dir):
             .filter(F.col("shared_shingles") >= CONTAM_MIN_SHARED))
 
 
-@query("rep_ngram_dup_frac", """
+# Shared repetition-metric fragments (rep_ngram_dup_frac +
+# quality_gopher_filter): the sorted-3-gram array, the count of positions
+# whose 3-gram repeats in-doc (elements equal to a sorted neighbour), and
+# the duplicate-token fraction — Spark and DuckDB spellings generated from
+# the same shapes. The Spark neighbour probes are clamped (greatest/least)
+# because SQL AND does not short-circuit and element_at throws on index 0;
+# DuckDB's out-of-range list index yields NULL, which the guard absorbs.
+_SG_SPARK = ("array_sort(transform(sequence(1, size(toks) - 2), "
+             "i -> concat_ws(' ', slice(toks, cast(i as int), 3))))")
+_DUP3_SPARK = (
+    "size(filter(sequence(1, size(sg)), i -> "
+    "(i > 1 AND element_at(sg, cast(i as int)) = "
+    "element_at(sg, cast(greatest(i - 1, 1) as int))) OR "
+    "(i < size(sg) AND element_at(sg, cast(i as int)) = "
+    "element_at(sg, cast(least(i + 1, size(sg)) as int)))))"
+)
+_DUPTOK_SPARK = ("(1.0 - size(array_distinct(toks)) "
+                 "/ cast(size(toks) as double))")
+_SG_DUCK = ("list_sort(list_transform(range(1, len(toks) - 1), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))")
+_DUP3_DUCK = ("len(list_filter(range(1, len(sg) + 1), "
+              "i -> (i > 1 AND sg[i] = sg[i-1]) "
+              "OR (i < len(sg) AND sg[i] = sg[i+1])))")
+_DUPTOK_DUCK = "(1.0 - len(list_distinct(toks)) * 1.0 / len(toks))"
+
+
+@query("rep_ngram_dup_frac", f"""
     WITH t AS (SELECT doc_id,
                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
                FROM documents),
-    g AS (SELECT doc_id, toks,
-                 list_sort(list_transform(range(1, len(toks) - 1),
-                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sg
+    g AS (SELECT doc_id, toks, {_SG_DUCK} AS sg
           FROM t WHERE len(toks) >= 3)
     SELECT doc_id,
            len(toks) AS n_tokens,
-           round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6)
-               AS dup_token_frac,
-           round(len(list_filter(range(1, len(sg) + 1),
-                     i -> (i > 1 AND sg[i] = sg[i-1])
-                       OR (i < len(sg) AND sg[i] = sg[i+1]))) * 1.0
-                 / len(sg), 6) AS dup_3gram_frac
+           round({_DUPTOK_DUCK}, 6) AS dup_token_frac,
+           round({_DUP3_DUCK} * 1.0 / len(sg), 6) AS dup_3gram_frac
     FROM g
 """)
 def rep_ngram_dup_frac(spark, sf_dir):
@@ -413,22 +433,102 @@ def rep_ngram_dup_frac(spark, sf_dir):
         d.select("doc_id",
                  F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"))
         .filter(F.expr("size(toks) >= 3"))
-        .withColumn("sg", F.expr(
-            "array_sort(transform(sequence(1, size(toks) - 2), "
-            "i -> concat_ws(' ', slice(toks, cast(i as int), 3))))"))
-    )
-    dup3 = (
-        "size(filter(sequence(1, size(sg)), i -> "
-        "(i > 1 AND element_at(sg, cast(i as int)) = "
-        "element_at(sg, cast(greatest(i - 1, 1) as int))) OR "
-        "(i < size(sg) AND element_at(sg, cast(i as int)) = "
-        "element_at(sg, cast(least(i + 1, size(sg)) as int)))))"
+        .withColumn("sg", F.expr(_SG_SPARK))
     )
     return g.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
-        F.expr("round(1.0 - size(array_distinct(toks)) "
-               "/ cast(size(toks) as double), 6)").alias("dup_token_frac"),
-        F.expr(f"round({dup3} / cast(size(sg) as double), 6)")
+        F.expr(f"round({_DUPTOK_SPARK}, 6)").alias("dup_token_frac"),
+        F.expr(f"round({_DUP3_SPARK} / cast(size(sg) as double), 6)")
         .alias("dup_3gram_frac"),
+    )
+
+
+# Gopher-style document quality gate thresholds (Rae et al. 2021 family,
+# constants tuned so the synthetic fixture corpus actually splits on every
+# rule): token-count window, mean-token-length window, minimum stopword
+# ratio, maximum repetition fractions.
+QF_MIN_TOKENS = 20
+QF_MAX_TOKENS = 100_000
+QF_MIN_AVG_TOK_LEN = 2.0
+QF_MAX_AVG_TOK_LEN = 12.0
+QF_STOPWORDS = ("the", "a", "of", "in", "and")
+QF_MIN_STOP_RATIO = 0.02
+QF_MAX_DUP_TOK_FRAC = 0.6
+QF_MAX_DUP_3GRAM_FRAC = 0.01
+
+
+@query("quality_gopher_filter", f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+                      text
+               FROM documents),
+    g AS (SELECT doc_id, toks, text, {_SG_DUCK} AS sg
+          FROM t WHERE len(toks) >= 3),
+    m AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 length(replace(text, ' ', '')) * 1.0 / len(toks) AS atl,
+                 len(list_filter(toks, x -> x IN
+                     {QF_STOPWORDS!r})) * 1.0 / len(toks) AS stop_ratio,
+                 {_DUPTOK_DUCK} AS dup_tok,
+                 {_DUP3_DUCK} * 1.0 / len(sg) AS dup3
+          FROM g)
+    SELECT doc_id,
+           CAST(n_tokens BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS}
+                AS INTEGER) AS ok_len,
+           CAST(atl BETWEEN {QF_MIN_AVG_TOK_LEN} AND {QF_MAX_AVG_TOK_LEN}
+                AS INTEGER) AS ok_tok_len,
+           CAST(stop_ratio >= {QF_MIN_STOP_RATIO} AS INTEGER) AS ok_stop,
+           CAST(dup_tok <= {QF_MAX_DUP_TOK_FRAC}
+                AND dup3 <= {QF_MAX_DUP_3GRAM_FRAC} AS INTEGER) AS ok_rep,
+           CAST(n_tokens BETWEEN {QF_MIN_TOKENS} AND {QF_MAX_TOKENS}
+                AND atl BETWEEN {QF_MIN_AVG_TOK_LEN} AND {QF_MAX_AVG_TOK_LEN}
+                AND stop_ratio >= {QF_MIN_STOP_RATIO}
+                AND dup_tok <= {QF_MAX_DUP_TOK_FRAC}
+                AND dup3 <= {QF_MAX_DUP_3GRAM_FRAC} AS INTEGER) AS passes
+    FROM m
+""")
+def quality_gopher_filter(spark, sf_dir):
+    """Composite Gopher-style quality gate: per document, pass/fail flags
+    for token-count window, mean token length, stopword-ratio floor, and
+    repetition ceilings (duplicate-token and duplicate-3-gram fractions),
+    plus the conjunction. This is THE standard pretraining corpus filter
+    shape — each flag is kept separately so downstream mixing can relax
+    individual rules without recomputing.
+
+    Plan: every rule is a scan-side expression over the in-row token
+    array (repetition via the shared sorted-neighbour fragments — see
+    rep_ngram_dup_frac); ZERO shuffles at any corpus size. Thresholds are
+    exact-comparison-safe across engines: all metrics are ratios of
+    integers, compared identically as doubles in Spark and DuckDB."""
+    d = table(spark, sf_dir, "documents")
+    stop_list = ", ".join(f"'{s}'" for s in QF_STOPWORDS)
+    m = (
+        d.select("doc_id", "text",
+                 F.expr("filter(split(text, ' '), x -> x != '')").alias("toks"))
+        .filter(F.expr("size(toks) >= 3"))
+        .withColumn("sg", F.expr(_SG_SPARK))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.expr("length(replace(text, ' ', '')) "
+                   "/ cast(size(toks) as double)").alias("atl"),
+            F.expr(f"size(filter(toks, x -> x IN ({stop_list}))) "
+                   "/ cast(size(toks) as double)").alias("stop_ratio"),
+            F.expr(_DUPTOK_SPARK).alias("dup_tok"),
+            F.expr(f"{_DUP3_SPARK} / cast(size(sg) as double)").alias("dup3"),
+        )
+    )
+    ok_len = F.col("n_tokens").between(QF_MIN_TOKENS, QF_MAX_TOKENS)
+    ok_tok_len = F.col("atl").between(QF_MIN_AVG_TOK_LEN, QF_MAX_AVG_TOK_LEN)
+    ok_stop = F.col("stop_ratio") >= QF_MIN_STOP_RATIO
+    ok_rep = (F.col("dup_tok") <= QF_MAX_DUP_TOK_FRAC) & \
+        (F.col("dup3") <= QF_MAX_DUP_3GRAM_FRAC)
+    return m.select(
+        "doc_id",
+        ok_len.cast("int").alias("ok_len"),
+        ok_tok_len.cast("int").alias("ok_tok_len"),
+        ok_stop.cast("int").alias("ok_stop"),
+        ok_rep.cast("int").alias("ok_rep"),
+        (ok_len & ok_tok_len & ok_stop & ok_rep).cast("int").alias("passes"),
     )

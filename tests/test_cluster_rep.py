@@ -105,3 +105,41 @@ def test_rep_ngram_dup_frac_matches_counter(spark):
     # the synthetic corpus's tiny vocabulary must actually exercise the
     # duplicated-3-gram branch somewhere
     assert any(v[2] > 0 for v in rows.values())
+
+
+def test_quality_gopher_filter_matches_python(spark):
+    t = textstats
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .filter(F.col("doc_id") < 80).collect()}
+    rows = {r["doc_id"]: r.asDict() for r in
+            t.quality_gopher_filter(spark, SF_DIR)
+            .filter(F.col("doc_id") < 80).collect()}
+    seen_fail = {k: False for k in ("ok_len", "ok_stop", "ok_rep")}
+    for doc_id, text in docs.items():
+        toks = [x for x in text.split(" ") if x]
+        if len(toks) < 3:
+            assert doc_id not in rows
+            continue
+        grams = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        cnt = collections.Counter(grams)
+        dup3 = sum(c for c in cnt.values() if c > 1) / len(grams)
+        expect = {
+            "ok_len": int(t.QF_MIN_TOKENS <= len(toks) <= t.QF_MAX_TOKENS),
+            "ok_tok_len": int(t.QF_MIN_AVG_TOK_LEN
+                              <= len(text.replace(" ", "")) / len(toks)
+                              <= t.QF_MAX_AVG_TOK_LEN),
+            "ok_stop": int(sum(x in t.QF_STOPWORDS for x in toks) / len(toks)
+                           >= t.QF_MIN_STOP_RATIO),
+            "ok_rep": int(1 - len(set(toks)) / len(toks)
+                          <= t.QF_MAX_DUP_TOK_FRAC
+                          and dup3 <= t.QF_MAX_DUP_3GRAM_FRAC),
+        }
+        expect["passes"] = int(all(expect.values()))
+        got = {k: rows[doc_id][k] for k in expect}
+        assert got == expect, doc_id
+        for k in seen_fail:
+            if not expect[k]:
+                seen_fail[k] = True
+    # thresholds must actually split the fixture corpus on these rules
+    assert all(seen_fail.values()), seen_fail
