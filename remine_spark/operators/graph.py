@@ -51,6 +51,38 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     except Exception:
         pass
 
+def _stats_free_leaf(df: DataFrame) -> DataFrame:
+    """Rebuild a checkpointed DataFrame as a fresh LogicalRDD leaf WITHOUT
+    the origin plan's statistics/constraints.
+
+    Dataset.localCheckpoint deliberately carries the ORIGINAL plan's
+    statistics onto the checkpoint leaf (to keep join planning informed).
+    In an iterative loop this compounds: sizeInBytes estimates MULTIPLY
+    through each round's joins, the product rides the next round's
+    checkpoint, and the BigInt doubles in bit-width per self-reference —
+    after ~20 compounded rounds one statistics visit costs MINUTES of
+    driver-side BigInt Karatsuba/Toom-Cook work (measured on the 1M-doc
+    near-dup graph: 2 s rounds degrading to 80 s by round 7 with three
+    pointer jumps; jstack pinned the busy thread in
+    scala.math.BigInt.$times). A leaf rebuilt via internalCreateDataFrame
+    reports the session default size instead — constant-width stats at
+    every round. Best-effort: internalCreateDataFrame is internal API
+    (public in bytecode); on any failure the original frame is returned
+    (correctness unaffected, only planning cost).
+
+    NOTE for callers: the rebuilt leaf wraps the checkpoint RDD in a new
+    projection, so _free_local_checkpoint must be handed the ORIGINAL
+    checkpointed frame, not the rebuilt one."""
+    try:
+        jdf = df._jdf
+        jspark = jdf.sparkSession()
+        new_jdf = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+        return DataFrame(new_jdf, df.sparkSession)
+    except Exception:
+        return df
+
+
 EDGE_MIN_FREQ = 60  # sf0.01-calibrated: yields a non-regular 30-node graph (deg 6-23)
 
 _DUCK_EDGES = f"""
@@ -120,57 +152,97 @@ def kg_triangles(spark, sf_dir):
 
 
 def hash_min_components(und_edges: DataFrame) -> DataFrame:
-    """Connected components of an undirected edge list by hash-min label
-    propagation: per round one join + one groupBy-min, looped in the driver
-    until a fixpoint (counted via one agg) — iterations ≈ graph diameter.
-    ``und_edges`` must carry BOTH directions of every edge in columns
-    (a, b); returns (node, comp) with comp = min node id of the component.
+    """Connected components by hash-min label propagation WITH star
+    contraction (the large-star/small-star family). ``und_edges`` must
+    carry BOTH directions of every edge in columns (a, b); returns
+    (node, comp) with comp = min node id of the component.
+
+    Per round: (1) every plateau (set of nodes sharing a root label)
+    adopts the minimum label reachable from its root over the CONTRACTED
+    edge table; (2) one pointer jump re-compresses the forest; (3) the
+    edge table itself is rewritten through the new labels — each edge
+    (a, b) becomes (lbl(a), lbl(b)), self-loops dropped. Contraction is
+    what makes this O(log n) rounds: plain neighbour-min advances a label
+    one ORIGINAL-graph hop per round (a chain component needs diameter
+    rounds — the 1M-doc near-dup graph, whose template chains are ~path
+    components over 222k clustered docs, ran past 40 rounds with label
+    shortcuts alone, because once a plateau's pointer depth is 1 a jump
+    is a no-op and plateaus merge at boundary speed). With contraction
+    the quotient graph shrinks geometrically, and both directions of
+    every edge are preserved, so the fixpoint (no label changed ⇒ every
+    remaining edge joins equal labels) is exactly full component merge.
 
     Shared by kg_connected_components (token co-occurrence graph) and
     dedup_cluster_resolve (near-duplicate pair graph).
 
-    Plan discipline: the input plan executes ONCE — the loop bases are
-    eager localCheckpoints (cache() reuses BLOCKS but leaves the full
-    derivation PLAN in place, and labels is referenced twice per round —
-    2^k plan growth inside each truncation window, with every leaf a
-    parquet re-scan of the corpus; measured ~1360 scan nodes at test
-    scale before the fix). As leaves, the returned plan reads only
-    in-memory RDD scans. On a cluster with lineage-reliability
-    requirements swap localCheckpoint for checkpoint() on a
-    fault-tolerant dir."""
-    und = und_edges.distinct().localCheckpoint(eager=True)
-    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+    Plan discipline: every loop table is an eager localCheckpoint
+    (plan truncation — cache() leaves the derivation plan in place and
+    the loop's 2× references per round grew it exponentially, every leaf
+    a parquet re-scan), wrapped by _stats_free_leaf so iterative joins
+    cannot compound sizeInBytes estimates round over round, with the raw
+    checkpoint handle (ck_*) kept for _free_local_checkpoint. On a
+    cluster with lineage-reliability requirements swap localCheckpoint
+    for checkpoint() on a fault-tolerant dir."""
+    ck_und = und_edges.distinct().localCheckpoint(eager=True)
+    und = _stats_free_leaf(ck_und)
+    ck_labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "lbl", F.col("node")).localCheckpoint(eager=True)
+    labels = _stats_free_leaf(ck_labels)
     while True:
+        # (1) plateau improvement: min label adjacent to each root rt,
+        # applied to every node THROUGH its root (labels.lbl == rt), so a
+        # whole plateau moves in one round
         nb_min = (
             und.join(labels, und.b == labels.node)
-            .groupBy(F.col("a").alias("node"))
+            .groupBy(F.col("a").alias("rt"))
             .agg(F.min("lbl").alias("nb_lbl"))
         )
-        # eager localCheckpoint per round: materializes the node-sized
-        # label table and truncates lineage, so the loop's plan stays
-        # CONSTANT-sized in the round count.
-        new_labels = (
-            labels.join(nb_min, "node", "left")
+        ck_imp = (
+            labels.join(nb_min, labels.lbl == nb_min.rt, "left")
             .select("node", F.least("lbl", F.coalesce("nb_lbl", "lbl"))
                     .alias("lbl"))
             .localCheckpoint(eager=True)
         )
+        cur = _stats_free_leaf(ck_imp)
+        # (2) one pointer jump: the adopted label may itself have moved
+        lk = cur.select(F.col("node").alias("lk_node"),
+                        F.col("lbl").alias("lk_lbl"))
+        ck_new = (
+            cur.join(lk, cur.lbl == lk.lk_node, "left")
+            .select("node", F.least("lbl", F.coalesce("lk_lbl", "lbl"))
+                    .alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        new_labels = _stats_free_leaf(ck_new)
+        _free_local_checkpoint(ck_imp)
         changed = (
             labels.withColumnRenamed("lbl", "old").join(new_labels, "node")
             .filter("old != lbl").count()
         )
-        # safe: new_labels is independently materialized, so dropping the
-        # previous round's blocks cannot force a recompute of its
-        # (truncated) lineage
-        _free_local_checkpoint(labels)
-        labels = new_labels
         if changed == 0:
+            _free_local_checkpoint(ck_labels)
+            _free_local_checkpoint(ck_und)
+            labels = new_labels
             break
-    # the final labels table is a self-contained checkpoint leaf, so the
-    # edge base can be released too; only `labels` itself must survive
-    # for the returned plan
-    _free_local_checkpoint(und)
+        # (3) star contraction: rewrite the (already contracted) edge
+        # table through the new labels; the quotient shrinks every round
+        # and self-loops (merged plateaus) drop out
+        la = new_labels.select(F.col("node").alias("na"),
+                               F.col("lbl").alias("la"))
+        lb = new_labels.select(F.col("node").alias("nb2"),
+                               F.col("lbl").alias("lb"))
+        ck_und2 = (
+            und.join(la, und.a == F.col("na"))
+            .join(lb, und.b == F.col("nb2"))
+            .select(F.col("la").alias("a"), F.col("lb").alias("b"))
+            .filter("a != b").distinct()
+            .localCheckpoint(eager=True)
+        )
+        # safe: successors are independently materialized leaves
+        _free_local_checkpoint(ck_und)
+        _free_local_checkpoint(ck_labels)
+        ck_und, und = ck_und2, _stats_free_leaf(ck_und2)
+        ck_labels, labels = ck_new, new_labels
     return labels.select("node", F.col("lbl").alias("comp"))
 
 
@@ -241,12 +313,14 @@ def kg_pagerank(spark, sf_dir, iters: int = 10, damping: float = 0.85):
             .alias("rank"))
         if (i + 1) % 5 == 0 and (i + 1) < iters:
             # bound the nested-plan depth at ≤5 iterations regardless of
-            # the iteration count (see kg_connected_components note)
-            ranks = ranks.localCheckpoint(eager=True)
+            # the iteration count (see kg_connected_components note);
+            # stats-free so checkpoint windows cannot compound sizeInBytes
+            ck = ranks.localCheckpoint(eager=True)
+            ranks = _stats_free_leaf(ck)
             if prev_ckpt is not None:
                 # the new (eager) checkpoint no longer reads the old one
                 _free_local_checkpoint(prev_ckpt)
-            prev_ckpt = ranks
+            prev_ckpt = ck
     # deg / out_edges / the last intermediate checkpoint stay persisted —
     # the returned plan still reads them
     return ranks.select("node", F.round("rank", 6).alias("rank"))

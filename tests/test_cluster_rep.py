@@ -52,8 +52,11 @@ def _union_find(pairs):
 
 
 def test_cluster_resolve_matches_union_find(spark):
+    # the resolve's pair basis: Jaccard-verified bucket adjacency chains
     pairs = [(r["doc_a"], r["doc_b"]) for r in
-             dedup.dedup_minhash_jaccard(spark, SF_DIR)
+             dedup._jaccard_verify(
+                 dedup._shingles_df(spark, SF_DIR),
+                 dedup.chain_pairs_df(dedup._bands_df(spark, SF_DIR)))
              .select("doc_a", "doc_b").collect()]
     assert pairs, "fixture corpus must contain verified near-dup pairs"
     expect = _union_find(pairs)

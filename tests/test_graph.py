@@ -57,3 +57,36 @@ def test_free_local_checkpoint_releases_blocks(spark):
     # only the final labels checkpoint (the returned plan's leaf) may
     # remain from the whole iterative loop
     assert n_persistent() <= before + 1
+
+
+def test_stats_free_leaf_bounds_iterative_stats(spark):
+    """Dataset.localCheckpoint carries the origin plan's sizeInBytes onto
+    the checkpoint leaf; in an iterative self-join loop that estimate
+    MULTIPLIES every round and its BigInt doubles in bit-width — by round
+    ~20 one Catalyst stats visit costs minutes of driver-side BigInt
+    multiplication (the 1M-doc dedup_cluster_resolve stall). The
+    _stats_free_leaf rebuild must hold the estimate constant."""
+    from pyspark.sql import functions as F
+
+    from remine_spark.operators.graph import _stats_free_leaf
+
+    def stat_bits(df):
+        return int(str(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes())).bit_length()
+
+    df = spark.range(100).select(F.col("id").alias("node"),
+                                 F.col("id").alias("lbl"))
+    cur = _stats_free_leaf(df.localCheckpoint(eager=True))
+    first = None
+    for _ in range(6):
+        lk = cur.select(F.col("node").alias("n2"), F.col("lbl").alias("l2"))
+        cur = _stats_free_leaf(
+            cur.join(lk, cur.lbl == lk.n2, "left")
+            .select("node", F.least("lbl", F.coalesce("l2", "lbl"))
+                    .alias("lbl"))
+            .localCheckpoint(eager=True))
+        first = first if first is not None else stat_bits(cur)
+    # without the rebuild the bit-width doubles per round (~64 → ~2048
+    # after 6); with it the leaf estimate is flat
+    assert stat_bits(cur) == first <= 64
+    assert cur.count() == 100
