@@ -15,11 +15,11 @@ Scale notes:
   hub skew — triangle enumeration pre-orders endpoints a<b<c so each
   triangle is produced exactly once and the heaviest join side is bounded
   by the orientation trick).
-- connected components is hash-min label propagation: per iteration one
-  join + one groupBy-min, looped in the driver until a fixpoint (counted
-  via one agg) — iterations ≈ graph diameter; at web scale this is the
-  standard large-star/small-star family, and each iteration's shuffle key
-  is the node id.
+- connected components is hash-min label propagation with star
+  contraction (the large-star/small-star family): per round one edge join
+  + groupBy-min, a pointer jump, and an edge-table rewrite through the
+  labels, looped in the driver until a fixpoint — O(log n) rounds, each
+  round's shuffle keyed by node id on a geometrically shrinking quotient.
 - PageRank is the classic contribution-sum power iteration with fixed
   iteration count (deterministic; no convergence race).
 """
@@ -29,58 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from remine_spark.catalog import query, table
-
-
-def _free_local_checkpoint(df: DataFrame) -> None:
-    """Actually free an eager localCheckpoint's blocks.
-
-    ``DataFrame.unpersist()`` is a no-op for these: it goes through the
-    cache manager, which never tracked the checkpoint RDD, so superseded
-    per-round label tables would sit in executor storage until the
-    ContextCleaner happens to GC the dereferenced RDDs — unbounded
-    accumulation on high-diameter graphs. The checkpointed RDD is the
-    LogicalRDD leaf of the analyzed plan; unpersist it directly (verified
-    to release the blocks on Spark 4.1 — a freed checkpoint is NOT
-    recomputable, so only superseded state may be passed here). Best
-    effort: LogicalRDD.rdd is internal API, so any failure degrades to
-    the old leak-until-GC behavior instead of erroring."""
-    try:
-        plan = df._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
-            plan.rdd().unpersist(False)
-    except Exception:
-        pass
-
-def _stats_free_leaf(df: DataFrame) -> DataFrame:
-    """Rebuild a checkpointed DataFrame as a fresh LogicalRDD leaf WITHOUT
-    the origin plan's statistics/constraints.
-
-    Dataset.localCheckpoint deliberately carries the ORIGINAL plan's
-    statistics onto the checkpoint leaf (to keep join planning informed).
-    In an iterative loop this compounds: sizeInBytes estimates MULTIPLY
-    through each round's joins, the product rides the next round's
-    checkpoint, and the BigInt doubles in bit-width per self-reference —
-    after ~20 compounded rounds one statistics visit costs MINUTES of
-    driver-side BigInt Karatsuba/Toom-Cook work (measured on the 1M-doc
-    near-dup graph: 2 s rounds degrading to 80 s by round 7 with three
-    pointer jumps; jstack pinned the busy thread in
-    scala.math.BigInt.$times). A leaf rebuilt via internalCreateDataFrame
-    reports the session default size instead — constant-width stats at
-    every round. Best-effort: internalCreateDataFrame is internal API
-    (public in bytecode); on any failure the original frame is returned
-    (correctness unaffected, only planning cost).
-
-    NOTE for callers: the rebuilt leaf wraps the checkpoint RDD in a new
-    projection, so _free_local_checkpoint must be handed the ORIGINAL
-    checkpointed frame, not the rebuilt one."""
-    try:
-        jdf = df._jdf
-        jspark = jdf.sparkSession()
-        new_jdf = jspark.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False)
-        return DataFrame(new_jdf, df.sparkSession)
-    except Exception:
-        return df
+from remine_spark.plan_utils import (
+    free_local_checkpoint as _free_local_checkpoint,
+    stats_free_leaf as _stats_free_leaf,
+)
 
 
 EDGE_MIN_FREQ = 60  # sf0.01-calibrated: yields a non-regular 30-node graph (deg 6-23)

@@ -33,6 +33,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T, Window as W
 
+from remine_spark.plan_utils import free_local_checkpoint, stats_free_leaf
+
 
 def edges_from_tuples(tuples: DataFrame) -> DataFrame:
     """(subj, rel, obj) training edges: one per relation segment."""
@@ -457,7 +459,12 @@ def _fit_sharded(
                 and meta["n_ent"] == n_ent and meta["n_rel"] == n_rel):
             params = spark.read.parquet(ck_dir)
             start_epoch = meta["epoch"] + 1
-    params = params.localCheckpoint(eager=True)
+    # stats-free leaf: checkpoint-preserved sizeInBytes estimates compound
+    # through the per-epoch join below (doubling bit-width per epoch) —
+    # harmless at 3-5 epochs, pathological at large epoch counts
+    # (plan_utils docstring / BENCH.md round-5 investigation)
+    ck_params = params.localCheckpoint(eager=True)
+    params = stats_free_leaf(ck_params)
 
     n_ent_u = np.uint64(n_ent)
 
@@ -593,9 +600,13 @@ def _fit_sharded(
                 yield out
 
         joined = params.join(presummed, ["kind", "idx"], "left")
-        params = joined.mapInPandas(
+        ck_new = joined.mapInPandas(
             apply_upd, schema="kind string, idx long, vec array<double>"
         ).localCheckpoint(eager=True)
+        # free the superseded epoch's blocks; stats-free leaf as above
+        free_local_checkpoint(ck_params)
+        ck_params = ck_new
+        params = stats_free_leaf(ck_params)
         if ck_dir is not None and (
                 (epoch + 1) % checkpoint_every == 0 or epoch == epochs - 1):
             params.write.mode("overwrite").parquet(ck_dir)
