@@ -7,4 +7,9 @@ seam it lacks: new page files land in a directory (or Iceberg snapshots at
 scale), and the stream re-runs the corpus stage exactly once per file, with
 exactly-once bookkeeping in the streaming checkpoint."""
 
-from remine_spark.streaming import ingest, stateful, windows  # noqa: F401
+from remine_spark.streaming import (  # noqa: F401
+    dedup_stream,
+    ingest,
+    stateful,
+    windows,
+)

@@ -33,6 +33,13 @@ def test_hash_min_components_handcrafted(spark):
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_hash_min_components_empty_graph(spark):
+    # a corpus with no verified near-dup pairs must resolve to an empty
+    # cluster table, not crash the contraction loop
+    und = spark.createDataFrame([], "a long, b long")
+    assert graph.hash_min_components(und).count() == 0
+
+
 def _union_find(pairs):
     parent = {}
 

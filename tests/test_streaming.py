@@ -198,3 +198,41 @@ def test_streaming_kg_update_catalog_entry(spark):
     assert df.count() > 0
     # rows-only by design: a foreachBatch stream has no DuckDB oracle
     assert "streaming_kg_update" not in entry.oracle_sql()
+
+
+def test_dedup_stream_first_arrival_wins_across_runs(spark, tmpdirs):
+    """Streaming exact dedup: one row per distinct content fingerprint,
+    with the seen-set carried across separate availableNow runs through
+    the streaming checkpoint — a re-crawl of already-seen pages adds
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from remine_spark.streaming import dedup_stream
+
+    _write_pages(spark, tmpdirs["in"], 30, seed=1)
+    dedup_stream.run_dedup_stream(
+        spark, tmpdirs["in"], tmpdirs["out"], tmpdirs["ckpt"])
+    first = spark.read.parquet(tmpdirs["out"])
+    n_first = first.count()
+    assert n_first == first.select("fp").distinct().count() > 0
+
+    # re-crawl: the exact same 30 pages again, plus 20 genuinely new ones
+    _write_pages(spark, tmpdirs["in"], 30, seed=1)
+    _write_pages(spark, tmpdirs["in"], 20, seed=2)
+    dedup_stream.run_dedup_stream(
+        spark, tmpdirs["in"], tmpdirs["out"], tmpdirs["ckpt"])
+    out = spark.read.parquet(tmpdirs["out"])
+    batch_distinct = (
+        spark.read.parquet(tmpdirs["in"])
+        .select(F.md5(F.coalesce("text", F.lit(""))).alias("fp"))
+        .distinct().count())
+    # every distinct text exactly once, none of the re-crawl re-emitted
+    assert out.count() == out.select("fp").distinct().count() == batch_distinct
+    assert out.count() > n_first
+
+    # watermark-bounded variant: all events inside the horizon → same set
+    wm_out, wm_ckpt = tmpdirs["out"] + "_wm", tmpdirs["ckpt"] + "_wm"
+    dedup_stream.run_dedup_stream(
+        spark, tmpdirs["in"], wm_out, wm_ckpt, within="365 days")
+    wm = spark.read.parquet(wm_out)
+    assert wm.select("fp").distinct().count() == batch_distinct
