@@ -140,6 +140,33 @@ def _streaming_kg_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "doc_id", "sent_id", "subj", "pred", "obj", "epoch_id")
 
 
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the driver gate — HASH-CHECKED: the
+    doc_id < 40 page slice is written twice (a simulated re-crawl), the
+    availableNow stream suppresses second arrivals on the content
+    fingerprint (streaming/dedup_stream.py, state in the checkpoint), and
+    the surfaced column is the fingerprint set itself — deterministic
+    regardless of which arrival won, so DuckDB can replay it as
+    SELECT DISTINCT md5(text) over the same slice."""
+    from remine_spark.streaming import dedup_stream
+
+    root = tempfile.mkdtemp(prefix="remine_sdedup_")
+    in_dir = os.path.join(root, "in")
+    out_dir = os.path.join(root, "out")
+    ck_dir = os.path.join(root, "ckpt")
+    slice_df = _pages_from_documents(spark, sf_dir, max_doc_id=40)
+    slice_df.write.mode("overwrite").parquet(in_dir)
+    slice_df.write.mode("append").parquet(in_dir)  # the re-crawl
+    dedup_stream.run_dedup_stream(spark, in_dir, out_dir, ck_dir)
+    return spark.read.parquet(out_dir).select("fp")
+
+
+_STREAMING_DEDUP_SQL = """
+    SELECT DISTINCT md5(coalesce(text, '')) AS fp
+    FROM documents WHERE doc_id < 40
+"""
+
+
 def _correctness_history() -> dict[str, int]:
     """name → latest round with a *usable* driver CORRECTNESS row.
 
@@ -185,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remine_edges": _remine_edges,
         "remine_embeddings": _remine_embeddings,
         "streaming_kg_update": _streaming_kg_update,
+        "streaming_dedup": _streaming_dedup,
     }
     for name, spec in _CATALOG.items():
         if name not in base:
@@ -197,5 +225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: spec["sql"] for name, spec in _CATALOG.items()
+    sqls = {name: spec["sql"] for name, spec in _CATALOG.items()
             if spec["sql"] is not None}
+    # the streaming dedup surfaces a deterministic fingerprint set, so it
+    # is hash-checkable even though the operator itself is a stream
+    sqls["streaming_dedup"] = _STREAMING_DEDUP_SQL
+    return sqls
