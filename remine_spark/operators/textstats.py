@@ -532,3 +532,30 @@ def quality_gopher_filter(spark, sf_dir):
         ok_rep.cast("int").alias("ok_rep"),
         (ok_len & ok_tok_len & ok_stop & ok_rep).cast("int").alias("passes"),
     )
+
+
+@query("host_doc_stats", """
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT lang) AS n_langs,
+           round(avg(len(list_filter(string_split(text, ' '),
+                                     x -> x <> ''))), 4) AS avg_tokens
+    FROM documents GROUP BY source
+""")
+def host_doc_stats(spark, sf_dir):
+    """Per-source (host/domain) corpus profile: document count, average
+    length in chars and tokens, language diversity — the first aggregate
+    every web-pipeline dashboard computes, and the input to domain-level
+    filtering/mixing decisions. One partial-aggregated shuffle keyed by
+    source; at 100 TB the source key is domain-cardinality (millions of
+    uniform groups) — a textbook hash agg."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.avg(F.expr(
+            "size(filter(split(text, ' '), x -> x != ''))")), 4)
+        .alias("avg_tokens"),
+    )
